@@ -1,0 +1,125 @@
+"""Unscented Kalman filter — dimension-generic, batchable, TPU-native.
+
+Replaces the reference's two hard-coded copies (src/ukf.rs: N=4/O=3,
+src/ukf2.rs: N=6/O=5 — byte-identical algorithms) with one implementation
+parameterized by the state/obs dimensions, plus:
+
+- ``set_q`` AND ``set_r`` (plain functional field replacement) — fixing the
+  reference's missing ``ukf2::set_r`` that breaks two examples
+  (SURVEY §2 C4; examples/mppi4-ukf-commu.rs:280).
+- sigma-point square root via ``eigh`` of the symmetrized C·P — the
+  symmetric-PSD equivalent of the reference's SVD choice
+  (src/ukf.rs:120-132: L = U·√Σ; for symmetric PSD, U√Σ matches V√λ up to
+  column order/sign, and ±L columns make both irrelevant), with negative
+  eigenvalues clamped to 0 so near-PSD covariances degrade gracefully
+  instead of panicking (``.expect("Cholesky fail")``).
+- Kalman gain via ``solve`` (no explicit inverse; reference panics on
+  singular Pz, src/ukf.rs:69).
+- Merwe weights α=1e-3, β=2, κ=3−n (src/ukf.rs:23-28).
+
+Batch thousands of independent filters with ``jax.vmap`` over ``UkfState``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class UkfParams(NamedTuple):
+    wm: jax.Array  # (M,) mean weights
+    wc: jax.Array  # (M,) covariance weights
+    c: float  # C = α²(n+κ) — sigma scaling (src/ukf.rs:27)
+    n: int
+    n_obs: int
+
+
+class UkfState(NamedTuple):
+    x: jax.Array  # (n,) mean
+    p: jax.Array  # (n, n) covariance
+    q: jax.Array  # (n, n) process noise  (set_q: state._replace(q=...))
+    r: jax.Array  # (o, o) measurement noise (set_r: state._replace(r=...))
+    sigma_f: jax.Array  # (2n+1, n) propagated sigma points from last predict
+
+
+def merwe_weights(n: int, alpha: float = 1e-3, beta: float = 2.0, kappa: float | None = None, dtype=jnp.float32):
+    """Merwe scaled weights — src/ukf.rs:112-118."""
+    if kappa is None:
+        kappa = 3.0 - n
+    c = alpha * alpha * (n + kappa)
+    lam = c - n
+    m = 2 * n + 1
+    wm = jnp.full((m,), 1.0 / (2.0 * c), dtype=dtype)
+    wc = jnp.full((m,), 1.0 / (2.0 * c), dtype=dtype)
+    wm = wm.at[0].set(lam / c)
+    wc = wc.at[0].set(lam / c + 1.0 - alpha * alpha + beta)
+    return wm, wc, c
+
+
+def ukf_init(x0, p0, q, r, *, alpha: float = 1e-3, beta: float = 2.0, kappa: float | None = None):
+    """Create (UkfParams, UkfState). sigma_f starts NaN as in src/ukf.rs:32."""
+    x0 = jnp.asarray(x0)
+    n = x0.shape[-1]
+    r = jnp.asarray(r)
+    o = r.shape[-1]
+    wm, wc, c = merwe_weights(n, alpha, beta, kappa, dtype=x0.dtype)
+    sigma_f = jnp.full((2 * n + 1, n), jnp.nan, dtype=x0.dtype)
+    return (
+        UkfParams(wm=wm, wc=wc, c=c, n=n, n_obs=o),
+        UkfState(x=x0, p=jnp.asarray(p0), q=jnp.asarray(q), r=r, sigma_f=sigma_f),
+    )
+
+
+def sigma_points(params: UkfParams, x: jax.Array, p: jax.Array) -> jax.Array:
+    """(2n+1, n) sigma set {x, x±Lᵢ}, L = eigh-sqrt(C·P) — src/ukf.rs:120-132."""
+    s = params.c * p
+    s = (s + jnp.swapaxes(s, -1, -2)) / 2.0
+    w, v = jnp.linalg.eigh(s)
+    l = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]  # columns Lᵢ = vᵢ√λᵢ
+    deltas = jnp.swapaxes(l, -1, -2)  # (n, n): row i = Lᵢ
+    return jnp.concatenate(
+        [x[..., None, :], x[..., None, :] + deltas, x[..., None, :] - deltas], axis=-2
+    )
+
+
+def unscented_transform(wm, wc, sigmas, cov):
+    """(mean, P) of a sigma set (M, S) + additive cov — src/ukf.rs:96-110."""
+    mean = jnp.einsum("...m,...ms->...s", wm, sigmas)
+    y = sigmas - mean[..., None, :]
+    p = jnp.einsum("...m,...ms,...mt->...st", wc, y, y) + cov
+    return mean, p
+
+
+def ukf_predict(params: UkfParams, state: UkfState, u, fx: Callable) -> UkfState:
+    """Time update — src/ukf.rs:44-52.
+
+    ``fx(x, u) -> x`` vector form on (..., n); broadcasting over the sigma
+    axis (our models broadcast; wrap with vmap otherwise)."""
+    sig = sigma_points(params, state.x, state.p)
+    sigma_f = fx(sig, u)
+    x, p = unscented_transform(params.wm, params.wc, sigma_f, state.q)
+    return state._replace(x=x, p=p, sigma_f=sigma_f)
+
+
+def ukf_update(params: UkfParams, state: UkfState, z, hx: Callable) -> UkfState:
+    """Measurement update — src/ukf.rs:54-74.
+
+    Gain by linear solve of Pz Kᵀ = Pxzᵀ; covariance symmetrized (:72-73)."""
+    sigmas_h = hx(state.sigma_f)
+    zp, pz = unscented_transform(params.wm, params.wc, sigmas_h, state.r)
+    yf = state.sigma_f - state.x[..., None, :]
+    yh = sigmas_h - zp[..., None, :]
+    pxz = jnp.einsum("...m,...ms,...mt->...st", params.wc, yf, yh)
+    k = jnp.linalg.solve(jnp.swapaxes(pz, -1, -2), jnp.swapaxes(pxz, -1, -2))
+    k = jnp.swapaxes(k, -1, -2)  # K = Pxz Pz⁻¹
+    x = state.x + jnp.einsum("...st,...t->...s", k, z - zp)
+    p = state.p - k @ pz @ jnp.swapaxes(k, -1, -2)
+    p = (p + jnp.swapaxes(p, -1, -2)) / 2.0
+    return state._replace(x=x, p=p)
+
+
+def ukf_step(params, state, u, z, fx, hx):
+    """predict + update in one jit-friendly call."""
+    return ukf_update(params, ukf_predict(params, state, u, fx), z, hx)

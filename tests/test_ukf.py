@@ -1,0 +1,213 @@
+"""UKF vs a NumPy f64 oracle (SVD sigma points, as the reference uses)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_rs_tpu.estimators.gaussian import Gaussian, kf1d_predict, kf1d_update_explicit
+from mpc_rs_tpu.estimators.kf import kf_predict, kf_update, kf_update_joseph
+from mpc_rs_tpu.estimators.ukf import merwe_weights, sigma_points, ukf_init, ukf_predict, ukf_update
+from mpc_rs_tpu.models import dynamics, observation
+from mpc_rs_tpu.models.params import CartPoleParams
+from mpc_rs_tpu.utils import as_vector_fn
+
+
+class NpUkf:
+    """Oracle transcription of src/ukf.rs (SVD square root, f64)."""
+
+    def __init__(self, x, p, q, r, alpha=1e-3, beta=2.0):
+        self.n = len(x)
+        self.x, self.p, self.q, self.r = map(np.array, (x, p, q, r))
+        n = float(self.n)
+        kappa = 3.0 - n
+        self.c = alpha**2 * (n + kappa)
+        lam = self.c - n
+        m = 2 * self.n + 1
+        self.wm = np.full(m, 1.0 / (2 * self.c))
+        self.wc = np.full(m, 1.0 / (2 * self.c))
+        self.wm[0] = lam / self.c
+        self.wc[0] = lam / self.c + 1 - alpha**2 + beta
+        self.sigma_f = None
+
+    def _sigma_points(self):
+        u, s, _ = np.linalg.svd(self.c * self.p)
+        l = u @ np.diag(np.sqrt(s))
+        pts = [self.x]
+        for i in range(self.n):
+            pts.append(self.x + l[:, i])
+        for i in range(self.n):
+            pts.append(self.x - l[:, i])
+        return np.array(pts)
+
+    def _ut(self, sigmas, cov):
+        x = self.wm @ sigmas
+        y = sigmas - x
+        p = (self.wc[:, None] * y).T @ y + cov
+        return x, p
+
+    def predict(self, u, fx):
+        sig = self._sigma_points()
+        self.sigma_f = np.array([fx(s, u) for s in sig])
+        self.x, self.p = self._ut(self.sigma_f, self.q)
+
+    def update(self, z, hx):
+        sigmas_h = np.array([hx(s) for s in self.sigma_f])
+        zp, pz = self._ut(sigmas_h, self.r)
+        pxz = (self.wc[:, None] * (self.sigma_f - self.x)).T @ (sigmas_h - zp)
+        k = pxz @ np.linalg.inv(pz)
+        self.x = self.x + k @ (z - zp)
+        self.p = self.p - k @ pz @ k.T
+        self.p = (self.p + self.p.T) / 2
+
+
+def test_merwe_weights_vs_reference_constants():
+    wm, wc, c = merwe_weights(4, dtype=jnp.float64)
+    # src/ukf.rs:23-28 with N=4: C = 1e-6*(4+(3-4)) = 3e-6
+    assert float(c) == pytest.approx(3e-6)
+    assert float(wm[0]) == pytest.approx((3e-6 - 4) / 3e-6)
+    assert float(wc[0]) == pytest.approx((3e-6 - 4) / 3e-6 + 1 - 1e-6 + 2.0)
+    assert float(wm[1]) == pytest.approx(1.0 / 6e-6)
+    np.testing.assert_allclose(np.sum(np.array(wm)), 1.0, rtol=1e-9)
+
+
+def test_sigma_points_reconstruct_moments():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(4, 4))
+    p = a @ a.T + 0.5 * np.eye(4)
+    x = rng.normal(size=4)
+    from mpc_rs_tpu.estimators.ukf import UkfParams
+
+    wm, wc, c = merwe_weights(4, dtype=jnp.float64)
+    params = UkfParams(wm=wm, wc=wc, c=c, n=4, n_obs=2)
+    sig = np.array(sigma_points(params, jnp.asarray(x), jnp.asarray(p)))
+    assert sig.shape == (9, 4)
+    mean = np.array(wm) @ sig
+    np.testing.assert_allclose(mean, x, atol=1e-9)
+    y = sig - mean
+    pr = (np.array(wc)[:, None] * y).T @ y
+    np.testing.assert_allclose(pr, p, rtol=1e-6, atol=1e-9)
+
+
+def test_ukf_matches_numpy_oracle_cartpole():
+    p = CartPoleParams.single_wheel()
+    dt = 0.01
+    fx = as_vector_fn(dynamics.make_cartpole_nonlinear(p, dt), 4)
+    hx = observation.make_hx_rpm_gyro4(p)
+    q = np.diag([0.0, 0.0, 0.0, 0.25])
+    r = np.diag([100.0, 100.0, 0.5])
+    p0 = np.eye(4) * 10.0
+    x0 = np.zeros(4)
+
+    params, state = ukf_init(jnp.asarray(x0), jnp.asarray(p0), jnp.asarray(q), jnp.asarray(r))
+    oracle = NpUkf(x0, p0, q, r)
+
+    def np_fx(x, u):
+        return np.array(fx(jnp.asarray(x), u))
+
+    def np_hx(x):
+        return np.array(hx(jnp.asarray(x)))
+
+    rng = np.random.default_rng(0)
+    u = 0.1
+    x_act = np.zeros(4)
+    for i in range(15):
+        x_act = np_fx(x_act, u)
+        z = np_hx(x_act) + rng.normal(size=3) * [100, 100, 0.5]
+        state = ukf_predict(params, state, u, fx)
+        state = ukf_update(params, state, jnp.asarray(z), hx)
+        oracle.predict(u, np_fx)
+        oracle.update(z, np_hx)
+        # eigh vs SVD square roots agree only to ~1e-6 once amplified by the
+        # O(1e6) Merwe center weights (α=1e-3), and the open-loop pendulum is
+        # unstable, so divergence compounds per step; tolerance-band parity as
+        # in BASELINE.md ("bit-tolerant match")
+        tol = 1e-4 if i < 10 else 3e-3
+        np.testing.assert_allclose(np.array(state.x), oracle.x, rtol=tol, atol=max(tol * 0.01, 1e-4))
+        np.testing.assert_allclose(np.array(state.p), oracle.p, rtol=10 * tol, atol=max(tol * 0.01, 1e-4))
+
+    # covariance stays symmetric PSD
+    pf = np.array(state.p)
+    np.testing.assert_allclose(pf, pf.T)
+    assert np.linalg.eigvalsh(pf).min() > -1e-10
+
+
+def test_ukf_set_q_set_r():
+    params, state = ukf_init(jnp.zeros(6), jnp.eye(6), jnp.eye(6), jnp.eye(5))
+    q2 = 2.0 * jnp.eye(6)
+    r2 = 3.0 * jnp.eye(5)
+    state = state._replace(q=q2, r=r2)  # set_q (ukf2.rs:96-98) + the missing set_r
+    np.testing.assert_allclose(np.array(state.q), 2 * np.eye(6))
+    np.testing.assert_allclose(np.array(state.r), 3 * np.eye(5))
+
+
+def test_ukf_vmap_batch_equals_loop():
+    p = CartPoleParams.single_wheel()
+    fx = as_vector_fn(dynamics.make_cartpole_nonlinear(p, 0.01), 4)
+    hx = observation.make_hx_rpm_gyro4(p)
+    q = jnp.diag(jnp.asarray([0.0, 0.0, 0.0, 0.25]))
+    r = jnp.diag(jnp.asarray([100.0, 100.0, 0.5]))
+    params, s0 = ukf_init(jnp.zeros(4), 10 * jnp.eye(4), q, r)
+
+    rng = np.random.default_rng(2)
+    xs = jnp.asarray(rng.normal(size=(5, 4)) * 0.1)
+    zs = jnp.asarray(rng.normal(size=(5, 3)))
+    us = jnp.asarray(rng.normal(size=(5,)))
+
+    batched = jax.vmap(lambda x, p_, z, u: ukf_update(
+        params, ukf_predict(params, s0._replace(x=x, p=p_), u, fx), z, hx
+    ), in_axes=(0, None, 0, 0))(xs, s0.p, zs, us)
+
+    for i in range(5):
+        si = ukf_update(params, ukf_predict(params, s0._replace(x=xs[i]), us[i], fx), zs[i], hx)
+        np.testing.assert_allclose(np.array(batched.x[i]), np.array(si.x), rtol=1e-9)
+        np.testing.assert_allclose(np.array(batched.p[i]), np.array(si.p), rtol=1e-9)
+
+
+def test_linear_kf_joseph_vs_textbook():
+    # examples/two-liner-kf.rs constants
+    dt = 0.01
+    f = jnp.asarray([[1.0, dt], [0.0, 1.0]])
+    q = jnp.asarray([[0.25, 0.5], [0.5, 1.0]])
+    h = jnp.asarray([[1.0, 0.0]])
+    r = jnp.asarray([[4.0]])
+    b = jnp.asarray([[0.0, 0.0], [1.0, -1.0]])
+    x = jnp.zeros(2)
+    p = 100.0 * jnp.eye(2)
+    u = jnp.asarray([0.5, -0.5])
+    x, p = kf_predict(x, p, f, q, u, b)
+    z = jnp.asarray([0.3])
+    x1, p1 = kf_update_joseph(x, p, z, h, r)
+    x2, p2 = kf_update(x, p, z, h, r)
+    np.testing.assert_allclose(np.array(x1), np.array(x2), rtol=1e-9)
+    np.testing.assert_allclose(np.array(p1), np.array(p2), rtol=1e-7)
+    assert np.allclose(np.array(p1), np.array(p1).T)
+
+
+def test_gaussian_algebra():
+    a = Gaussian(jnp.float64(10.0), jnp.float64(10.0))
+    b = Gaussian(jnp.float64(0.5), jnp.float64(1.0))
+    s = a + b
+    assert float(s.mean) == pytest.approx(10.5)
+    assert float(s.var) == pytest.approx(11.0)
+    prod = a * b
+    want_mean = (10.0 * 0.5 + 1.0 * 10.0) / 11.0
+    assert float(prod.mean) == pytest.approx(want_mean)
+    assert float(prod.var) == pytest.approx(10.0 / 11.0)
+    # product form equals explicit-gain form (one-liner-kf.rs:26-40)
+    e = kf1d_update_explicit(a, b)
+    assert float(e.mean) == pytest.approx(float(prod.mean))
+    assert float(e.var) == pytest.approx(float(prod.var))
+    scaled = a * 2.0
+    assert float(scaled.mean) == pytest.approx(20.0)
+    # 1-D KF converges from wrong prior (one-liner-kf.rs scenario)
+    x_est = Gaussian(jnp.float64(10.0), jnp.float64(10.0))
+    x_act = 0.0
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        x_act += 0.5
+        x_est = kf1d_predict(x_est, Gaussian(jnp.float64(0.5), jnp.float64(1.0)))
+        obs = Gaussian(jnp.float64(x_act + rng.normal() * 2.0), jnp.float64(4.0))
+        x_est = x_est * obs
+    assert abs(float(x_est.mean) - x_act) < 2.0
+    assert float(x_est.var) < 2.0
