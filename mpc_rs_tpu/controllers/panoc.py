@@ -132,7 +132,7 @@ def _lbfgs_push(mem: LbfgsMem, s: jax.Array, y: jax.Array) -> LbfgsMem:
 
 def panoc_solve(
     cfg: PanocConfig,
-    f: Callable,
+    f: Callable | None,
     proj: Callable,
     u0: jax.Array,
     value_and_grad: Callable | None = None,
@@ -141,9 +141,17 @@ def panoc_solve(
 
     jit-able, vmappable. ``f`` must be jax-differentiable unless
     ``value_and_grad`` is supplied (e.g. a finite-difference oracle for
-    parity with op-mpc-x.rs:132-151).
+    parity with op-mpc-x.rs:132-151, or a precomputed QP oracle), in which
+    case ``f`` may be None (cost values come from the oracle).
     """
-    vg = value_and_grad or jax.value_and_grad(f)
+    if value_and_grad is None:
+        vg = jax.value_and_grad(f)
+        f_eval = f
+    else:
+        vg = value_and_grad
+        # keep cost evaluations consistent with the supplied oracle
+        f_eval = f if f is not None else (lambda u: vg(u)[0])
+    f = f_eval
     dtype = u0.dtype
     n = u0.shape[-1]
 

@@ -1,0 +1,217 @@
+"""PANOC solver + condensed QP + PID: correctness vs known optima/oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_rs_tpu.controllers.panoc import (
+    PanocConfig,
+    ball2_projection,
+    box_projection,
+    make_fd_value_and_grad,
+    panoc_solve,
+)
+from mpc_rs_tpu.controllers.pid import PidConfig, pid_init, pid_update
+from mpc_rs_tpu.controllers.qp import (
+    build_condensed_qp,
+    create_f_matrix,
+    create_g_matrix,
+    create_q_matrix,
+    make_qp_value_and_grad,
+    qp_cost,
+    qp_grad,
+)
+from mpc_rs_tpu.models import dynamics, reference
+from mpc_rs_tpu.models.params import CartPoleParams
+
+
+def test_panoc_ball2_smoke():
+    """op-en2.rs: minimize u0²+u1² on a unit ball → optimum (0,0)."""
+    cfg = PanocConfig(tol=1e-6, max_iter=200, lbfgs_mem=10)
+    f = lambda u: u[0] ** 2 + u[1] ** 2
+    res = panoc_solve(cfg, f, ball2_projection(1.0), jnp.zeros(2))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.array(res.u), 0.0, atol=1e-5)
+
+
+def test_panoc_ball2_active_constraint():
+    """Minimum outside the ball → solution on the boundary."""
+    cfg = PanocConfig(tol=1e-8, max_iter=300, lbfgs_mem=10)
+    target = jnp.asarray([2.0, 2.0])
+    f = lambda u: jnp.sum((u - target) ** 2)
+    res = panoc_solve(cfg, f, ball2_projection(1.0), jnp.zeros(2))
+    u = np.array(res.u)
+    np.testing.assert_allclose(u, [np.sqrt(0.5), np.sqrt(0.5)], atol=1e-5)
+
+
+def test_panoc_box_quadratic():
+    """Box-constrained strongly-convex quadratic vs closed-form projection."""
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(6, 6))
+    h = a @ a.T + 6 * np.eye(6)
+    b = rng.normal(size=6)
+    # unconstrained optimum
+    u_star = np.linalg.solve(h, -b)
+    # ensure some coordinates exceed the box
+    lo, hi = -0.2, 0.2
+    f = lambda u: 0.5 * u @ (jnp.asarray(h) @ u) + jnp.asarray(b) @ u
+    cfg = PanocConfig(tol=1e-9, max_iter=500, lbfgs_mem=10)
+    res = panoc_solve(cfg, f, box_projection(lo, hi), jnp.zeros(6))
+    u = np.array(res.u)
+    assert bool(res.converged)
+    # KKT check: projected gradient vanishes
+    g = h @ u + b
+    pg = np.clip(u - 0.01 * g, lo, hi) - u
+    np.testing.assert_allclose(pg, 0.0, atol=1e-6)
+    assert (u >= lo - 1e-12).all() and (u <= hi + 1e-12).all()
+
+
+def test_panoc_faster_than_pgd_iterations():
+    """L-BFGS acceleration: PANOC needs far fewer iterations than its own
+    memory-less (≈ projected gradient) variant on an ill-conditioned
+    quadratic. (Calibration: scipy L-BFGS-B needs 189 iterations here.)"""
+    d = np.geomspace(1.0, 1e4, 20)
+    h = jnp.asarray(np.diag(d))
+    b = jnp.asarray(np.ones(20))
+    f = lambda u: 0.5 * u @ (h @ u) + b @ u
+    cfg = PanocConfig(tol=1e-6, max_iter=2000, lbfgs_mem=20)
+    res = panoc_solve(cfg, f, box_projection(-10.0, 10.0), jnp.zeros(20))
+    assert bool(res.converged)
+    cfg1 = PanocConfig(tol=1e-6, max_iter=2000, lbfgs_mem=1)
+    res1 = panoc_solve(cfg1, f, box_projection(-10.0, 10.0), jnp.zeros(20))
+    assert int(res.iterations) < 400
+    assert int(res.iterations) < 0.5 * int(res1.iterations)
+
+
+def test_fd_gradient_matches_autodiff():
+    p = CartPoleParams.single_wheel()
+    from mpc_rs_tpu.models import costs
+    from mpc_rs_tpu.utils import as_vector_fn
+
+    step = as_vector_fn(dynamics.make_cartpole_nonlinear(p, 0.01), 4)
+    pe = reference.make_planning_err(p.l)
+    cost_full = costs.make_tracking_rollout_cost(step, pe, [0.0, 9.2, 16.0, 0.5, 0.0])
+    x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0])
+    f = lambda u: cost_full(x0, u)
+    u = jnp.asarray(np.random.default_rng(1).normal(size=10) * 0.5)
+    _, g_ad = jax.value_and_grad(f)(u)
+    _, g_fd = make_fd_value_and_grad(f, eps=1e-4)(u)
+    np.testing.assert_allclose(np.array(g_fd), np.array(g_ad), rtol=1e-4, atol=1e-5)
+
+
+def _np_f_g_q(a, b, c, n):
+    s = a.shape[0]
+    f = np.zeros((s * n, s))
+    for i in range(n):
+        f[s * i : s * (i + 1)] = np.linalg.matrix_power(a, i + 1)
+    g = np.zeros((s * n, n))
+    for i in range(n):
+        for j in range(i + 1):
+            g[s * i : s * (i + 1), j : j + 1] = np.linalg.matrix_power(a, i - j) @ b
+    q = np.kron(np.eye(n), c)
+    return f, g, q
+
+
+def test_qp_builders_vs_oracle():
+    p = CartPoleParams.single_wheel()
+    dt = 0.1
+    a, b = dynamics.linear_ab(p, dt)
+    a, b = np.array(a), np.array(b)
+    c = np.diag([5.0, 5.0, 1.0, 1.0])
+    n = 8
+    f_np, g_np, q_np = _np_f_g_q(a, b, c, n)
+    np.testing.assert_allclose(create_f_matrix(a, n), f_np, rtol=1e-12)
+    np.testing.assert_allclose(create_g_matrix(a, b, n), g_np, rtol=1e-12)
+    np.testing.assert_allclose(create_q_matrix(c, n), q_np, rtol=1e-12)
+
+
+def test_qp_cost_grad_consistent():
+    p = CartPoleParams.single_wheel()
+    a, b = dynamics.linear_ab(p, 0.1)
+    c = np.diag([5.0, 5.0, 1.0, 1.0])
+    qp = build_condensed_qp(a, b, c, 8)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=4))
+    u = jnp.asarray(rng.normal(size=8))
+    x_ref = jnp.asarray(rng.normal(size=32))
+    g_analytic = qp_grad(qp, x0, u, x_ref)
+    g_ad = jax.grad(lambda uu: qp_cost(qp, x0, uu, x_ref))(u)
+    np.testing.assert_allclose(np.array(g_analytic), np.array(g_ad), rtol=1e-9)
+
+
+def test_qp_mpc_closed_loop_parks():
+    """op-mpc-x-calc.rs scenario: linear plant + condensed-QP PANOC parks
+    the pendulum from x=[0.5,0,0.1,0]."""
+    p = CartPoleParams.single_wheel()
+    dt = 0.8 / 8
+    n = 8
+    a, b = dynamics.linear_ab(p, dt)
+    c = np.diag([5.0, 5.0, 1.0, 1.0])
+    qp = build_condensed_qp(a, b, c, n)
+    gen_ref = reference.make_gen_ref_raised_cosine(n)
+    vg_factory = make_qp_value_and_grad(qp, gen_ref)
+    aj, bj = jnp.asarray(a), jnp.asarray(b).reshape(-1)
+    cfg = PanocConfig(tol=1e-6, max_iter=80, lbfgs_mem=20)
+    proj = box_projection(-30.0, 30.0)
+
+    @jax.jit
+    def tick(x, u):
+        res = panoc_solve(cfg, None, proj, u, value_and_grad=vg_factory(x))
+        u_new = res.u
+        x_new = aj @ x + bj * u_new[0]
+        return x_new, u_new, res
+
+    x = jnp.asarray([0.5, 0.0, 0.1, 0.0])
+    u = jnp.zeros(n)
+    for i in range(60):
+        x, u, res = tick(x, u)
+        assert abs(float(x[2])) < np.pi / 2, f"tipped at {i}"
+    assert abs(float(x[0])) < 0.1
+    assert abs(float(x[2])) < 0.05
+
+
+def test_pid_velocity_form():
+    cfg = PidConfig(kp=0.6, ki=0.4, kd=5e-3, lo=-25.0, hi=25.0)
+    s = pid_init(dtype=jnp.float64)
+    dt = 1e-3
+    # first tick: du = kp*e + ki*e*dt + kd*e/dt
+    u, s = pid_update(cfg, s, jnp.float64(1.0), jnp.float64(0.0), dt)
+    want = 0.6 * 1.0 + 0.4 * 1.0 * dt + 5e-3 * 1.0 / dt
+    assert float(u) == pytest.approx(min(want, 25.0))
+    # constant error: only the integral term keeps pushing
+    u2, s = pid_update(cfg, s, jnp.float64(1.0), jnp.float64(0.0), dt)
+    assert float(u2) == pytest.approx(min(float(u) + 0.4 * dt - 5e-3 / dt, 25.0))
+
+
+def test_pid_linear_pendulum_episode():
+    """pid.rs scenario. Note: with Kp=0.6 a positional-equivalent PID cannot
+    stabilize this plant (needs loop gain ≳ a32/|b3| ≈ 13), so the reference
+    episode ends in the 60° tip-over guard (pid.rs:52-55); we assert the
+    same qualitative behavior: finite clamped outputs, unstable divergence
+    caught by the guard."""
+    p = CartPoleParams.single_wheel()
+    dt = 1e-3
+    step = dynamics.make_cartpole_linear_pid(p, dt)
+    cfg = PidConfig(kp=0.6, ki=0.4, kd=5e-3, lo=-25.0, hi=25.0)
+    s = pid_init(dtype=jnp.float64)
+
+    @jax.jit
+    def run(x, s):
+        def body(carry, i):
+            x, s = carry
+            phase = jnp.clip(x[0], -0.5, 0.5) * np.pi / 0.5 / 2.0  # pid.rs:24
+            theta_ref = -0.2 * jnp.sin(phase) ** 5
+            u, s = pid_update(cfg, s, theta_ref, x[2], dt)
+            x = jnp.stack(step(x[0], x[1], x[2], x[3], -u))
+            return (x, s), jnp.stack([x[2], u])
+
+        return jax.lax.scan(body, (x, s), jnp.arange(2000))
+
+    (x, _), out = run(jnp.asarray([-0.5, 0.0, 0.2, 0.0]), s)
+    thetas, us = np.array(out[:, 0]), np.array(out[:, 1])
+    assert np.isfinite(us).all() and (np.abs(us) <= 25.0 + 1e-9).all()
+    tipped = np.abs(thetas) > np.radians(60.0)
+    assert tipped.any(), "expected the under-gained PID baseline to tip over"
+    # and the tip-over is not immediate (controller does push back a while)
+    assert np.argmax(tipped) > 300
