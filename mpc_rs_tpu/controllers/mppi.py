@@ -44,6 +44,12 @@ class MppiConfig:
     lambda_: float  # softmax temperature λ
     std_dev: float  # sampling σ (also the control-term weight σ⁻²)
     limit: tuple[float, float]  # box constraint on controls
+    # Optional override of the control-term coefficient (default σ⁻²).
+    # The reference has two inconsistent weightings: the library divides the
+    # control term by λ (src/mppi.rs:60-74) while the inline mppi2 example
+    # does not (examples/mppi2.rs:59-70: exp(−c/λ − Σ u/R·v)). Setting
+    # control_inv = λ/R reproduces mppi2's weighting through this solver.
+    control_inv: float | None = None
 
 
 class MppiResult(NamedTuple):

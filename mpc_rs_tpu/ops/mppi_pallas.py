@@ -1,0 +1,246 @@
+"""Fused Pallas TPU kernel for the MPPI hot path.
+
+One kernel fuses everything the reference's rayon pipeline does in five
+parallel passes over K-sized buffers (src/mppi.rs:39-84: sample → rollout →
+max → exp/sum → weighted average) into a single streaming pass that never
+materializes K-sized arrays in HBM:
+
+- in-kernel PRNG (threefry-free hardware PRNG + Box-Muller) generates the
+  noise directly in VMEM — the (K, N) sample matrix never exists in HBM;
+- the N-step rollout runs component-wise on (sublane, lane) blocks with the
+  S≤6 state components held in vector registers/VMEM;
+- the three K-reductions (max, Σw, Σw·v) become one *streaming log-sum-exp*
+  accumulated across sequential grid steps in scratch: carried (m, s, uw)
+  with rescaling exp(m_old − m_new) — the numerically-safe max-shift of
+  src/mppi.rs:65-74 generalized to a single pass (SURVEY §2d).
+
+The kernel emits per-core partials (m, s, uw-lanes) so the cross-chip
+combine is one psum/pmax round on a ``rollouts`` mesh axis
+(parallel/sharded_mppi.py) — log-sum-exp merging, no second pass over K.
+
+Layout: rollouts on the 128-lane minor axis, BS sublanes per block
+(K-minor tiling — SURVEY §7 hard part (c)).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpc_rs_tpu.controllers.mppi import MppiConfig, MppiStatus
+
+_LANES = 128
+_TWO_PI = 2.0 * math.pi
+
+
+def _bits_to_unit_open(bits):
+    """uint32 → float32 in (0, 1]: mantissa trick. f ∈ [1,2) ⇒ 2−f ∈ (0,1]."""
+    f = pltpu.bitcast((bits >> 9) | np.uint32(0x3F800000), jnp.float32)
+    return 2.0 - f
+
+
+def _make_kernel(
+    dynamics: Callable,
+    cost: Callable,
+    cfg: MppiConfig,
+    n_state: int,
+    block_sublanes: int,
+    use_prng: bool,
+):
+    n = cfg.n_horizon
+    bs = block_sublanes
+    inv = cfg.std_dev ** -2.0
+    lo, hi = cfg.limit
+    neg_big = np.float32(-3.4e38)
+
+    def kernel(seed_ref, x0_ref, u_n_ref, *rest):
+        if use_prng:
+            m_ref, s_ref, uw_ref, v_buf = rest
+        else:
+            eps_ref, m_ref, s_ref, uw_ref, v_buf = rest
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _init():
+            m_ref[0, 0] = neg_big
+            s_ref[0, 0] = 0.0
+            uw_ref[...] = jnp.zeros_like(uw_ref)
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0], pid)
+
+        # --- sample & clamp (src/mppi.rs:38-45), stored for the weighted avg
+        for t in range(n):
+            if use_prng:
+                bits = pltpu.prng_random_bits((2, bs, _LANES))
+                u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+                # u2 ∈ [0,1) is fine for the angle
+                u2 = pltpu.bitcast((pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000), jnp.float32) - 1.0
+                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+                eps_t = cfg.std_dev * z
+            else:
+                eps_t = eps_ref[0, t]
+            v_t = jnp.clip(u_n_ref[t, 0] + eps_t, lo, hi)
+            v_buf[t] = v_t
+
+        # --- rollout + cost + control term (src/mppi.rs:48-62)
+        xs = tuple(
+            jnp.full((bs, _LANES), x0_ref[i, 0], dtype=jnp.float32) for i in range(n_state)
+        )
+        c = jnp.zeros((bs, _LANES), jnp.float32)
+        ct = jnp.zeros((bs, _LANES), jnp.float32)
+        for t in range(n):
+            v_t = v_buf[t]
+            xs = dynamics(*xs, v_t)
+            c = c + cost(*xs)
+            ct = ct + u_n_ref[t, 0] * inv * v_t
+        score = -c - ct
+
+        # --- streaming log-sum-exp accumulation (src/mppi.rs:65-84);
+        # weights w = exp((score − m)/λ) with the running max carried in
+        # scratch and prior partials rescaled by exp((m_old − m_new)/λ)
+        inv_lambda = np.float32(1.0 / cfg.lambda_)
+        finite = jnp.isfinite(score)
+        score_f = jnp.where(finite, score, neg_big)
+        block_max = jnp.max(score_f)
+        # treat all-masked blocks as neg_big (matches filtered max semantics)
+        m_old = m_ref[0, 0]
+        m_new = jnp.maximum(m_old, block_max)
+        scale = jnp.exp((m_old - m_new) * inv_lambda)
+        e = jnp.where(finite, jnp.exp((score - m_new) * inv_lambda), 0.0)
+        s_ref[0, 0] = s_ref[0, 0] * scale + jnp.sum(e)
+        m_ref[0, 0] = m_new
+        for t in range(n):
+            # per-lane partials: sum over sublanes only; host sums lanes
+            uw_ref[t, :] = uw_ref[t, :] * scale + jnp.sum(e * v_buf[t], axis=0)
+
+    return kernel
+
+
+class MppiPartials(NamedTuple):
+    m: jax.Array  # () running max of scores (neg_big if none finite)
+    s: jax.Array  # () Σ exp(score − m)
+    uw: jax.Array  # (N,) Σ exp(score − m) · v_t
+
+
+def mppi_pallas_partials(
+    cfg: MppiConfig,
+    dynamics: Callable,
+    cost: Callable,
+    n_state: int,
+    seed: jax.Array,
+    x: jax.Array,
+    u_n: jax.Array,
+    *,
+    n_rollouts: int | None = None,
+    block_sublanes: int = 64,
+    interpret: bool = False,
+    noise: jax.Array | None = None,
+) -> MppiPartials:
+    """Run the fused kernel over ``n_rollouts`` (default cfg.n_rollouts).
+
+    ``x``: (S,) state vector; ``u_n``: (N,) nominal sequence; ``seed``:
+    int32 scalar (combined with the block id in-kernel). Returns softmax
+    partials for a log-sum-exp combine (single- or multi-chip).
+
+    ``noise``: optional pre-generated eps of shape (num_blocks, N,
+    block_sublanes, 128). When given, the in-kernel PRNG is bypassed —
+    used for exact parity testing against the vmap reference (the TPU
+    interpreter's PRNG is a stub) and for externally-controlled sampling.
+    """
+    k = n_rollouts or cfg.n_rollouts
+    bk = block_sublanes * _LANES
+    num_blocks = pl.cdiv(k, bk)
+    n = cfg.n_horizon
+    use_prng = noise is None
+
+    kernel = _make_kernel(dynamics, cost, cfg, n_state, block_sublanes, use_prng)
+    in_specs = []
+    inputs = []
+    if not use_prng:
+        assert noise.shape == (num_blocks, n, block_sublanes, _LANES), noise.shape
+        in_specs.append(
+            pl.BlockSpec(
+                (1, n, block_sublanes, _LANES),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(jnp.asarray(noise, jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # seed, x0, u_n
+        grid=(num_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # m (1,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # s (1,1)
+            pl.BlockSpec((n, _LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, block_sublanes, _LANES), jnp.float32)],
+    )
+    m, s, uw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(x, jnp.float32).reshape(n_state, 1),
+        jnp.asarray(u_n, jnp.float32).reshape(n, 1),
+        *inputs,
+    )
+    return MppiPartials(m=m[0, 0], s=s[0, 0], uw=jnp.sum(uw, axis=-1))
+
+
+def mppi_solve_pallas(
+    cfg: MppiConfig,
+    dynamics: Callable,
+    cost: Callable,
+    n_state: int,
+    seed: jax.Array,
+    x: jax.Array,
+    u_n: jax.Array,
+    *,
+    block_sublanes: int = 64,
+    interpret: bool = False,
+    noise: jax.Array | None = None,
+):
+    """Full single-chip MPPI solve via the fused kernel.
+
+    Returns (u_n', status) with the same semantics as
+    ``controllers.mppi.mppi_solve`` (zero fallback on failure).
+    """
+    parts = mppi_pallas_partials(
+        cfg, dynamics, cost, n_state, seed, x, u_n,
+        block_sublanes=block_sublanes, interpret=interpret, noise=noise,
+    )
+    return finalize_partials(cfg, parts, u_n)
+
+
+def finalize_partials(cfg: MppiConfig, parts: MppiPartials, u_n: jax.Array):
+    no_finite = parts.m <= np.float32(-3.3e38)
+    sum_zero = parts.s == 0.0
+    u_new = (parts.uw / jnp.where(sum_zero, 1.0, parts.s)).astype(u_n.dtype)
+    invalid = jnp.isnan(u_new[0]) | jnp.isinf(u_new[0])
+    status = jnp.where(
+        no_finite,
+        jnp.int32(MppiStatus.NO_FINITE),
+        jnp.where(
+            sum_zero,
+            jnp.int32(MppiStatus.SUM_ZERO),
+            jnp.where(invalid, jnp.int32(MppiStatus.INVALID_U), jnp.int32(MppiStatus.OK)),
+        ),
+    )
+    ok = status == jnp.int32(MppiStatus.OK)
+    return jnp.where(ok, u_new, jnp.zeros_like(u_new)), status

@@ -1,0 +1,114 @@
+"""Scenario-parallel batched closed loops over a 2-D (scenario × rollouts)
+mesh — the BASELINE "north star": thousands of independent MPPI+UKF control
+loops, each loop's K rollouts additionally sharded across chips.
+
+SPMD layout:
+- axis ``scenario``: independent closed-loop instances (pure data parallel,
+  no cross-device math — the UKF stays per-device, SURVEY §5),
+- axis ``rollouts``: each scenario's K MPPI samples split across devices;
+  the softmax reduction is one pmax/psum log-sum-exp round on ICI.
+
+States are sharded P('scenario') over leading batch dim and replicated
+over 'rollouts'; controls come back replicated over 'rollouts'.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpc_rs_tpu.controllers.mppi import MppiConfig
+from mpc_rs_tpu.estimators.ukf import UkfParams, UkfState, ukf_predict, ukf_update
+from mpc_rs_tpu.ops.mppi_pallas import MppiPartials, finalize_partials
+from mpc_rs_tpu.parallel.sharded_mppi import _jnp_partials
+
+
+class ScenarioCarry(NamedTuple):
+    x: jax.Array  # (B, S) true plant states
+    u_n: jax.Array  # (B, N) nominal sequences
+    ukf: UkfState  # batched (leading B) estimator state
+    key: jax.Array  # (B,) per-scenario PRNG keys
+    status: jax.Array  # (B,) last MPPI status
+
+
+def make_scenario_step(
+    cfg: MppiConfig,
+    dynamics,  # component-wise controller model
+    cost,
+    plant_fx: Callable,  # vector form (x, u) -> x  — true plant
+    ukf_params: UkfParams,
+    ukf_fx: Callable,
+    ukf_hx: Callable,
+    sensor_stddevs,
+    mesh: Mesh,
+    *,
+    scenario_axis: str = "scenario",
+    rollout_axis: str = "rollouts",
+    state_slice=None,  # e.g. 6-state estimate -> 4-state controller input
+):
+    """Returns jitted ``step(carry) -> carry`` advancing every scenario one
+    control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
+    """
+    n_dev_r = mesh.shape[rollout_axis]
+    if cfg.n_rollouts % n_dev_r:
+        raise ValueError("K not divisible by rollout axis")
+    k_local = cfg.n_rollouts // n_dev_r
+    sig = jnp.asarray(sensor_stddevs)
+
+    def mppi_local(key, x_ctrl, u_n):
+        parts = _jnp_partials(cfg, dynamics, cost, key, tuple(x_ctrl), u_n, k_local)
+        m_g = jax.lax.pmax(parts.m, rollout_axis)
+        scale = jnp.exp((parts.m - m_g) / cfg.lambda_)
+        parts = MppiPartials(
+            m=m_g,
+            s=jax.lax.psum(parts.s * scale, rollout_axis),
+            uw=jax.lax.psum(parts.uw * scale, rollout_axis),
+        )
+        return finalize_partials(cfg, parts, u_n)
+
+    def shard_fn(carry: ScenarioCarry) -> ScenarioCarry:
+        my_r = jax.lax.axis_index(rollout_axis)
+
+        def one_scenario(x, u_n, ukf, key, _status):
+            key, k_mppi, k_sens = jax.random.split(key, 3)
+            # decorrelate rollout shards; scenarios decorrelate via their keys
+            k_mppi = jax.random.fold_in(k_mppi, my_r)
+            x_hat = ukf.x if state_slice is None else ukf.x[jnp.asarray(state_slice)]
+            u_new, status = mppi_local(k_mppi, x_hat, u_n)
+            u0 = u_new[0]
+            x_next = plant_fx(x, u0)
+            z = ukf_hx(x_next) + sig * jax.random.normal(k_sens, sig.shape, dtype=sig.dtype)
+            ukf = ukf_predict(ukf_params, ukf, u0, ukf_fx)
+            ukf = ukf_update(ukf_params, ukf, z, ukf_hx)
+            return ScenarioCarry(x=x_next, u_n=u_new, ukf=ukf, key=key, status=status)
+
+        return jax.vmap(one_scenario)(carry.x, carry.u_n, carry.ukf, carry.key, carry.status)
+
+    spec_b = P(scenario_axis)  # batch-leading arrays: sharded over scenario,
+    # replicated over rollouts (each rollout-shard sees the whole sub-batch)
+    specs = ScenarioCarry(x=spec_b, u_n=spec_b, ukf=jax.tree.map(lambda _: spec_b, UkfState(*(0,) * 5)), key=spec_b, status=spec_b)
+
+    step = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=specs,
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def init_scenario_carry(batch, x0, u0, ukf_state: UkfState, key):
+    """Broadcast a single-scenario initial condition to a (B, ...) carry."""
+    tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (batch,) + jnp.asarray(a).shape)
+    return ScenarioCarry(
+        x=tile(x0),
+        u_n=tile(u0),
+        ukf=jax.tree.map(tile, ukf_state),
+        key=jax.random.split(key, batch),
+        status=jnp.zeros((batch,), jnp.int32),
+    )

@@ -1,0 +1,171 @@
+"""Pallas fused MPPI kernel (TPU interpreter on CPU) + sharded solve.
+
+The interpreter's hardware PRNG is a stub (returns zeros), so kernel-math
+parity uses the external-noise mode: identical eps through the kernel and
+the vmap reference must agree to f32 precision. The PRNG path is validated
+on real TPU by bench.py and the TPU-marked tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_rs_tpu.controllers.mppi import MppiConfig, MppiStatus, mppi_solve, rollout_scores
+from mpc_rs_tpu.models import costs, dynamics
+from mpc_rs_tpu.models.params import CartPoleParams
+from mpc_rs_tpu.ops.mppi_pallas import mppi_pallas_partials, mppi_solve_pallas
+from mpc_rs_tpu.parallel import make_mesh, make_sharded_mppi
+
+P = CartPoleParams.single_wheel()
+N = 8
+BS = 8
+LANES = 128
+
+
+def _cfg(k, lam=0.5):
+    return MppiConfig(n_horizon=N, n_rollouts=k, lambda_=lam, std_dev=3.0, limit=(-20.0, 20.0))
+
+
+def _noise(key, nb):
+    return 3.0 * jax.random.normal(key, (nb, N, BS, LANES), dtype=jnp.float32)
+
+
+def _ref_solve_on_noise(cfg, step, cost, x, u_n, eps):
+    """Ground-truth softmax/weighted-average on the same samples (f64)."""
+    k = eps.shape[0] * BS * LANES
+    eps_kn = np.array(eps).transpose(0, 2, 3, 1).reshape(k, N).astype(np.float64)
+    v = np.clip(np.array(u_n, np.float64) + eps_kn, cfg.limit[0], cfg.limit[1])
+    s = np.array(
+        rollout_scores(step, cost, tuple(jnp.float64(c) for c in np.array(x)), jnp.asarray(v), jnp.asarray(u_n, jnp.float64), cfg.std_dev)
+    )
+    m = s.max()
+    w = np.exp((s - m) / cfg.lambda_)
+    return (w / w.sum()) @ v
+
+
+def test_kernel_exact_parity_same_noise():
+    step = dynamics.make_cartpole_nonlinear(P, 0.1)
+    nb = 2
+    cfg = _cfg(nb * BS * LANES)
+    eps = _noise(jax.random.key(0), nb)
+    x = jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32)
+    u_n = jnp.zeros(N, jnp.float32)
+    u_pal, st = mppi_solve_pallas(
+        cfg, step, costs.shaped4, 4, 0, x, u_n, block_sublanes=BS, interpret=True, noise=eps
+    )
+    assert int(st) == MppiStatus.OK
+    want = _ref_solve_on_noise(cfg, step, costs.shaped4, x, u_n, eps)
+    np.testing.assert_allclose(np.array(u_pal), want, rtol=1e-3, atol=2e-4)
+
+
+def test_kernel_streaming_logsumexp_multi_block_invariance():
+    """Partials must be independent of block partitioning: solving the same
+    samples in 4 blocks vs 1 reshaped super-block gives identical u."""
+    step = dynamics.make_double_integrator(0.05)
+    nb = 4
+    cfg = _cfg(nb * BS * LANES, lam=2.5)
+    eps = _noise(jax.random.key(1), nb)
+    x = jnp.asarray([1.0, 0.0], jnp.float32)
+    u_n = jnp.full((N,), 0.3, jnp.float32)
+    u4, st4 = mppi_solve_pallas(
+        cfg, step, costs.quad2, 2, 0, x, u_n, block_sublanes=BS, interpret=True, noise=eps
+    )
+    eps1 = eps.transpose(1, 0, 2, 3).reshape(1, N, nb * BS, LANES)
+    u1, st1 = mppi_solve_pallas(
+        cfg, step, costs.quad2, 2, 0, x, u_n, block_sublanes=nb * BS, interpret=True, noise=eps1
+    )
+    np.testing.assert_allclose(np.array(u4), np.array(u1), rtol=2e-4, atol=1e-5)
+
+
+def test_kernel_warm_start_and_clamp():
+    step = dynamics.make_double_integrator(0.05)
+    nb = 1
+    cfg = _cfg(nb * BS * LANES)
+    # huge nominal → samples clamp at the limit → u' must respect limits
+    eps = _noise(jax.random.key(2), nb)
+    x = jnp.asarray([1.0, 0.0], jnp.float32)
+    u_n = jnp.full((N,), 100.0, jnp.float32)
+    u, st = mppi_solve_pallas(
+        cfg, step, costs.quad2, 2, 0, x, u_n, block_sublanes=BS, interpret=True, noise=eps
+    )
+    assert int(st) == MppiStatus.OK
+    arr = np.array(u)
+    assert (arr >= cfg.limit[0] - 1e-5).all() and (arr <= cfg.limit[1] + 1e-5).all()
+    np.testing.assert_allclose(arr, cfg.limit[1], atol=1e-4)  # all samples clamp to hi
+
+
+def test_kernel_no_finite_status():
+    step = dynamics.make_double_integrator(0.05)
+    bad_cost = lambda a, b: jnp.full_like(a, jnp.inf)
+    nb = 1
+    cfg = _cfg(nb * BS * LANES)
+    eps = _noise(jax.random.key(3), nb)
+    u, st = mppi_solve_pallas(
+        cfg, step, bad_cost, 2, 0, jnp.asarray([1.0, 0.0], jnp.float32),
+        jnp.zeros(N, jnp.float32), block_sublanes=BS, interpret=True, noise=eps,
+    )
+    assert int(st) == MppiStatus.NO_FINITE
+    np.testing.assert_array_equal(np.array(u), 0.0)
+
+
+def test_sharded_jnp_backend_matches_unsharded_partials():
+    """8-device rollout-sharded solve must equal a single-device solve that
+    uses the same per-shard keys (the collective log-sum-exp is exact)."""
+    step = dynamics.make_cartpole_nonlinear(P, 0.1)
+    mesh = make_mesh()
+    n_dev = mesh.shape["rollouts"]
+    k_local = 512
+    cfg = _cfg(n_dev * k_local)
+    solve = make_sharded_mppi(cfg, step, costs.shaped4, 4, mesh, backend="jnp")
+    x = jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32)
+    u_n = jnp.zeros(N, jnp.float32)
+    key = jax.random.key(0)
+    u_sh, st = solve(key, x, u_n)
+    assert int(st) == MppiStatus.OK
+
+    # replicate: concatenate the per-device sample sets and run the
+    # reference softmax on all of them
+    vs, ss = [], []
+    for d in range(n_dev):
+        kd = jax.random.fold_in(key, d)
+        eps = 3.0 * jax.random.normal(kd, (k_local, N), dtype=jnp.float32)
+        v = jnp.clip(u_n + eps, cfg.limit[0], cfg.limit[1])
+        s = rollout_scores(step, costs.shaped4, tuple(x), v, u_n, cfg.std_dev)
+        vs.append(np.array(v, np.float64))
+        ss.append(np.array(s, np.float64))
+    v = np.concatenate(vs)
+    s = np.concatenate(ss)
+    m = s.max()
+    w = np.exp((s - m) / cfg.lambda_)
+    want = (w / w.sum()) @ v
+    np.testing.assert_allclose(np.array(u_sh), want, rtol=1e-3, atol=5e-4)
+
+
+def test_sharded_pallas_interpret_on_cpu_mesh():
+    """The exact TPU shard_map+pallas code path, interpreted on 8 CPU devices."""
+    step = dynamics.make_cartpole_nonlinear(P, 0.1)
+    mesh = make_mesh()
+    n_dev = mesh.shape["rollouts"]
+    cfg = _cfg(n_dev * BS * LANES)
+    solve = make_sharded_mppi(
+        cfg, step, costs.shaped4, 4, mesh, backend="pallas", block_sublanes=BS, interpret=True
+    )
+    x = jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32)
+    u_n = jnp.zeros(N, jnp.float32)
+    u, st = solve(3, x, u_n)
+    # interpreter PRNG is a zero-stub ⇒ all samples equal u_n=0 ⇒ u'=0, OK status
+    assert int(st) == MppiStatus.OK
+    assert np.isfinite(np.array(u)).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs real TPU PRNG")
+def test_kernel_prng_statistics_tpu():
+    step = dynamics.make_double_integrator(0.05)
+    cfg = _cfg(64 * BS * LANES, lam=1e9)  # huge λ ⇒ uniform weights ⇒ u' ≈ mean(v) ≈ u_n
+    u, st = mppi_solve_pallas(
+        cfg, step, costs.quad2, 2, 5, jnp.asarray([0.0, 0.0], jnp.float32),
+        jnp.zeros(N, jnp.float32), block_sublanes=BS,
+    )
+    assert int(st) == MppiStatus.OK
+    np.testing.assert_allclose(np.array(u), 0.0, atol=0.05)
