@@ -1,0 +1,50 @@
+"""CLI entry: ``python -m mpc_rs_tpu.apps.run <example> [options]``.
+
+The reference's compile-time ``const`` blocks become flags; defaults match
+the cited reference constants per runner.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from mpc_rs_tpu.apps.registry import EXAMPLES
+
+    ap = argparse.ArgumentParser(
+        prog="mpc_rs_tpu.apps.run",
+        description="Run a reference-example workload on the TPU-native engine.",
+    )
+    ap.add_argument("example", choices=sorted(EXAMPLES), help="workload name")
+    ap.add_argument("--k", type=int, default=None, help="MPPI rollouts (default: reference K)")
+    ap.add_argument("--t-end", type=float, default=10.0, help="sim duration [s]")
+    ap.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    ap.add_argument("--log-dir", default="logs", help="CSV log directory")
+    ap.add_argument("--backend", choices=["pallas", "vmap"], default=None,
+                    help="MPPI backend (default: pallas on TPU, vmap elsewhere)")
+    ap.add_argument("--max-iter", type=int, default=None, help="PANOC iteration budget")
+    ap.add_argument("--fd", action="store_true", help="finite-difference gradients (parity mode)")
+    ap.add_argument("--use-ukf-estimate", action="store_true",
+                    help="feed the UKF estimate to the controller (reference DEBUG_UKF=true "
+                         "bypasses the estimator; this flag enables the estimator path)")
+    ap.add_argument("--device", default="/dev/ttyUSB0", help="serial device for -commu examples")
+    ap.add_argument("--sim-mcu", action="store_true",
+                    help="replace the robot with a fake MCU behind a PTY")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from mpc_rs_tpu.apps.registry import get_example
+
+    return get_example(args.example)(args)
+
+
+if __name__ == "__main__":
+    main()

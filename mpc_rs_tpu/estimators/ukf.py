@@ -85,8 +85,22 @@ def sigma_points(params: UkfParams, x: jax.Array, p: jax.Array) -> jax.Array:
 
 
 def unscented_transform(wm, wc, sigmas, cov):
-    """(mean, P) of a sigma set (M, S) + additive cov — src/ukf.rs:96-110."""
-    mean = jnp.einsum("...m,...ms->...s", wm, sigmas)
+    """(mean, P) of a sigma set (M, S) + additive cov — src/ukf.rs:96-110.
+
+    The mean uses a cancellation-free form exploiting the symmetric Merwe
+    structure: with α=1e-3 the center weight is O(∓1e6) (wm[0] ≈ −2e6 for
+    n=6), so the textbook Σ wm·σ catastrophically cancels in f32 (the
+    reference is f64-only and never hits this — SURVEY §7 hard part (b)).
+    Because wm[0] + 2n·wm[1] = 1 exactly, mean = σ₀ + wm[1]·Σᵢ dᵢ with
+    dᵢ = σᵢ − σ₀; summing the ± pairs first cancels the O(L) parts before
+    the 1/(2C) ≈ 1e5 weight ever multiplies them. Requires the standard
+    (2n+1)-point set with equal non-center weights (merwe_weights)."""
+    m = sigmas.shape[-2]
+    n = (m - 1) // 2
+    s0 = sigmas[..., 0, :]
+    d = sigmas - s0[..., None, :]
+    pair = d[..., 1 : n + 1, :] + d[..., n + 1 :, :]
+    mean = s0 + wm[..., 1, None] * jnp.sum(pair, axis=-2)
     y = sigmas - mean[..., None, :]
     p = jnp.einsum("...m,...ms,...mt->...st", wc, y, y) + cov
     return mean, p

@@ -46,6 +46,25 @@ class SerialPort:
             return None
         return packet_cls.from_cobs(data[-packet_cls.buf_size():])
 
+    def read_latest_packet(self, packet_cls, max_len: int = 256):
+        """Drain the RX queue and parse the newest complete frame. Use when
+        the controller is slower than the sensor stream — acting on the
+        freshest state instead of a stale queued one (the reference has the
+        same staleness hazard via its mpsc queue, mppi4-commu.rs:42-59)."""
+        pkt = self.read_packet(packet_cls, max_len)
+        if pkt is None:
+            return None
+        saved_timeout = self.timeout_ms
+        self.timeout_ms = 0
+        try:
+            while True:
+                nxt = self.read_packet(packet_cls, max_len)
+                if nxt is None:
+                    return pkt
+                pkt = nxt
+        finally:
+            self.timeout_ms = saved_timeout
+
     def write(self, data: bytes) -> int:
         return self._lib.mpcio_serial_write(self._fd, data, len(data))
 

@@ -211,3 +211,25 @@ def test_gaussian_algebra():
         x_est = x_est * obs
     assert abs(float(x_est.mean) - x_act) < 2.0
     assert float(x_est.var) < 2.0
+
+
+def test_ukf_f32_no_catastrophic_cancellation():
+    """The f32 path must stay finite with alpha=1e-3 center weights
+    (the naive UT mean NaNs within ~100 steps on a 6-state filter)."""
+    p = CartPoleParams.single_wheel()
+    fx = as_vector_fn(dynamics.make_pen6(p, 0.01), 6)
+    from mpc_rs_tpu.models.observation import make_hx_force6
+
+    hx = make_hx_force6(p)
+    q = jnp.diag(jnp.asarray([0, 0, 0, 0, 0, 10.0], jnp.float32))
+    r = jnp.diag(jnp.asarray([100.0, 100.0, 0.5, 100.0, 100.0], jnp.float32))
+    params, s = ukf_init(jnp.zeros(6, jnp.float32), 10.0 * jnp.eye(6, dtype=jnp.float32), q, r)
+    rng = np.random.default_rng(0)
+    x_act = np.zeros(6)
+    for i in range(100):
+        x_act = np.array(fx(jnp.asarray(x_act, jnp.float64), 0.1))
+        z = np.array(hx(jnp.asarray(x_act))) + rng.normal(size=5) * [100, 100, 0.5, 100, 100]
+        s = ukf_predict(params, s, jnp.float32(0.1), fx)
+        s = ukf_update(params, s, jnp.asarray(z, jnp.float32), hx)
+        assert np.isfinite(np.array(s.x)).all(), f"NaN at step {i}"
+        assert np.isfinite(np.array(s.p)).all(), f"NaN P at step {i}"
