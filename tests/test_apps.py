@@ -1,0 +1,77 @@
+"""App-runner smoke tests: each family executes briefly through the CLI
+dispatch path with reduced scale (parity of wiring, not of duration)."""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+
+from mpc_rs_tpu.apps.run import build_parser, main as run_main
+
+
+def _run(argv, tmp_path):
+    argv = argv + ["--log-dir", str(tmp_path)]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out = run_main(argv)
+    return out, buf.getvalue()
+
+
+def test_parser_lists_all_examples():
+    from mpc_rs_tpu.apps.registry import EXAMPLES
+
+    assert len(EXAMPLES) == 23  # every reference binary except dead op-mpc-tmp
+    ap = build_parser()
+    args = ap.parse_args(["mppi2", "--k", "16"])
+    assert args.example == "mppi2" and args.k == 16
+
+
+def test_mppi2_runs(tmp_path):
+    x, out = _run(["mppi2", "--k", "256"], tmp_path)
+    assert "t: 4.9" in out or "t: 5.0" in out
+    assert abs(float(np.asarray(x)[0])) < 0.5  # regulated
+
+
+def test_mppi4_non_liner_runs_and_logs(tmp_path):
+    x, out = _run(["mppi4-non-liner", "--k", "2048", "--t-end", "1.0"], tmp_path)
+    assert os.path.exists(tmp_path / "mppi" / "mppi.csv")
+    data = np.loadtxt(tmp_path / "mppi" / "mppi.csv", delimiter=",")
+    assert data.shape[1] == 6  # t, u, x[0..4] — reference schema
+    assert "elapsed:" in out
+
+
+def test_op_en2_runs(tmp_path):
+    res, out = _run(["op-en2"], tmp_path)
+    assert "u = [" in out
+    np.testing.assert_allclose(np.asarray(res.u), 0.0, atol=1e-4)
+
+
+def test_op_mpc_x_calc_runs(tmp_path):
+    x, out = _run(["op-mpc-x-calc", "--t-end", "1.0", "--max-iter", "40"], tmp_path)
+    assert "elapsed:" in out
+    assert abs(np.asarray(x)[2]) < 0.5
+
+
+def test_ukf_pen2_runs(tmp_path):
+    state, out = _run(["ukf-pen2"], tmp_path)
+    assert np.isfinite(np.asarray(state.x)).all()
+    assert "x_est" in out
+
+
+def test_pid_runs_and_logs(tmp_path):
+    x, out = _run(["pid", "--t-end", "1.0"], tmp_path)
+    assert os.path.exists(tmp_path / "pid" / "pid.csv")
+    # under-gained PID baseline tips over (see test_panoc for the analysis)
+    assert "60 degrees" in out or np.isfinite(np.asarray(x)).all()
+
+
+@pytest.mark.skipif(
+    not __import__("mpc_rs_tpu.io.cobs", fromlist=["native_available"]).native_available(),
+    reason="needs native serial lib",
+)
+def test_uart_sim_mcu(tmp_path):
+    n, out = _run(["uart", "--sim-mcu", "--t-end", "1.5"], tmp_path)
+    assert n > 10  # ~100 Hz stream for 1.5 s
+    assert "State(" in out
