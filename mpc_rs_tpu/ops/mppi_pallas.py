@@ -77,18 +77,25 @@ def _make_kernel(
             pltpu.prng_seed(seed_ref[0], pid)
 
         # --- sample & clamp (src/mppi.rs:38-45), stored for the weighted avg
-        for t in range(n):
-            if use_prng:
+        if use_prng:
+            # paired Box-Muller: one (log, sqrt) feeds BOTH cos and sin
+            # branches → 2 normals per radius draw (fewer transcendentals;
+            # the VPU is transcendental-bound here, not FLOP-bound)
+            for t0 in range(0, n, 2):
                 bits = pltpu.prng_random_bits((2, bs, _LANES))
                 u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
-                # u2 ∈ [0,1) is fine for the angle
-                u2 = pltpu.bitcast((pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000), jnp.float32) - 1.0
-                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-                eps_t = cfg.std_dev * z
-            else:
-                eps_t = eps_ref[0, t]
-            v_t = jnp.clip(u_n_ref[t, 0] + eps_t, lo, hi)
-            v_buf[t] = v_t
+                u2 = pltpu.bitcast(
+                    (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                    jnp.float32,
+                ) - 1.0  # [0,1) is fine for the angle
+                r = cfg.std_dev * jnp.sqrt(-2.0 * jnp.log(u1))
+                ang = _TWO_PI * u2
+                v_buf[t0] = jnp.clip(u_n_ref[t0, 0] + r * jnp.cos(ang), lo, hi)
+                if t0 + 1 < n:
+                    v_buf[t0 + 1] = jnp.clip(u_n_ref[t0 + 1, 0] + r * jnp.sin(ang), lo, hi)
+        else:
+            for t in range(n):
+                v_buf[t] = jnp.clip(u_n_ref[t, 0] + eps_ref[0, t], lo, hi)
 
         # --- rollout + cost + control term (src/mppi.rs:48-62)
         xs = tuple(
@@ -140,7 +147,7 @@ def mppi_pallas_partials(
     u_n: jax.Array,
     *,
     n_rollouts: int | None = None,
-    block_sublanes: int = 64,
+    block_sublanes: int | None = None,
     interpret: bool = False,
     noise: jax.Array | None = None,
 ) -> MppiPartials:
@@ -156,6 +163,10 @@ def mppi_pallas_partials(
     interpreter's PRNG is a stub) and for externally-controlled sampling.
     """
     k = n_rollouts or cfg.n_rollouts
+    if block_sublanes is None:
+        # fewer, larger blocks amortize per-grid-step overhead (~2 µs);
+        # cap keeps v_buf = N·BS·128·4B comfortably inside VMEM
+        block_sublanes = max(8, min(256, k // (_LANES * 2)))
     bk = block_sublanes * _LANES
     num_blocks = pl.cdiv(k, bk)
     n = cfg.n_horizon
@@ -212,7 +223,7 @@ def mppi_solve_pallas(
     x: jax.Array,
     u_n: jax.Array,
     *,
-    block_sublanes: int = 64,
+    block_sublanes: int | None = None,
     interpret: bool = False,
     noise: jax.Array | None = None,
 ):

@@ -28,7 +28,7 @@ def measure_scaling(
     backend: str = "jnp",
     iters: int = 20,
     x0=None,
-    block_sublanes: int = 64,
+    block_sublanes: int | None = None,
     interpret: bool = False,
 ) -> list[dict]:
     """Returns [{devices, solves_per_s, efficiency}, ...]; K fixed globally

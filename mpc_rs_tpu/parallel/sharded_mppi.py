@@ -50,7 +50,7 @@ def make_sharded_mppi(
     *,
     axis: str = "rollouts",
     backend: str = "pallas",
-    block_sublanes: int = 64,
+    block_sublanes: int | None = None,
     interpret: bool = False,
 ):
     """Returns jitted ``solve(seed_or_key, x, u_n) -> (u_n', status)``.
