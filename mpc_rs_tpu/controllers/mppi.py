@@ -60,7 +60,7 @@ class MppiResult(NamedTuple):
     ess: jax.Array  # effective sample size of the softmax weights
 
 
-def rollout_scores(dynamics, cost, x, v, u_n, std_dev):
+def rollout_scores(dynamics, cost, x, v, u_n, std_dev, control_inv=None):
     """Scores s_k for sampled sequences v (K, N) from state x (component tuple).
 
     dynamics/cost are component-wise (see models.dynamics); the scan carries
@@ -77,7 +77,7 @@ def rollout_scores(dynamics, cost, x, v, u_n, std_dev):
 
     c0 = jnp.zeros((k,), dtype=v.dtype)
     (c_k, _), _ = jax.lax.scan(body, (c0, xs), v.T)
-    inv = std_dev ** -2.0
+    inv = std_dev ** -2.0 if control_inv is None else control_inv
     control_term = jnp.sum(u_n * inv * v, axis=-1)  # src/mppi.rs:60-61
     return -c_k - control_term
 
@@ -100,7 +100,7 @@ def mppi_solve(
     eps = cfg.std_dev * jax.random.normal(key, (k, n), dtype=dtype)
     v = jnp.clip(u_n + eps, cfg.limit[0], cfg.limit[1])  # src/mppi.rs:39-45
 
-    s_k = rollout_scores(dynamics, cost, x, v, u_n, cfg.std_dev)
+    s_k = rollout_scores(dynamics, cost, x, v, u_n, cfg.std_dev, cfg.control_inv)
 
     finite = jnp.isfinite(s_k)
     any_finite = jnp.any(finite)

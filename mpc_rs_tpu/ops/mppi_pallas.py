@@ -56,7 +56,7 @@ def _make_kernel(
 ):
     n = cfg.n_horizon
     bs = block_sublanes
-    inv = cfg.std_dev ** -2.0
+    inv = cfg.std_dev ** -2.0 if cfg.control_inv is None else cfg.control_inv
     lo, hi = cfg.limit
     neg_big = np.float32(-3.4e38)
 

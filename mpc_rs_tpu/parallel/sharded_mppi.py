@@ -33,7 +33,7 @@ def _jnp_partials(cfg: MppiConfig, dynamics, cost, key, x, u_n, k_local: int) ->
     """Reference-path partials (vmap+scan) for CPU meshes / parity tests."""
     eps = cfg.std_dev * jax.random.normal(key, (k_local, cfg.n_horizon), dtype=u_n.dtype)
     v = jnp.clip(u_n + eps, cfg.limit[0], cfg.limit[1])
-    s_k = rollout_scores(dynamics, cost, tuple(x), v, u_n, cfg.std_dev)
+    s_k = rollout_scores(dynamics, cost, tuple(x), v, u_n, cfg.std_dev, cfg.control_inv)
     finite = jnp.isfinite(s_k)
     neg_big = jnp.asarray(-3.4e38, u_n.dtype)
     m = jnp.max(jnp.where(finite, s_k, neg_big))

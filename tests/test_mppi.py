@@ -135,3 +135,24 @@ def test_f32_scores_match_f64_on_same_samples():
     s32 = rollout_scores(step64, costs.shaped4, x32, v32, u.astype(jnp.float32), 3.0)
     assert s32.dtype == jnp.float32
     np.testing.assert_allclose(np.array(s32), np.array(s64), rtol=2e-4, atol=1e-3)
+
+
+def test_control_inv_override_mppi2_weighting():
+    """control_inv reproduces mppi2's weighting: exp(−c/λ − Σ u/R·v)
+    (examples/mppi2.rs:59-70, control term NOT divided by λ)."""
+    step = dynamics.make_double_integrator(0.05)
+    lam, r_sig = 2.5, 1.0
+    cfg = MppiConfig(n_horizon=6, n_rollouts=128, lambda_=lam, std_dev=r_sig,
+                     limit=(-3.0, 3.0), control_inv=lam / r_sig)
+    key = jax.random.key(0)
+    u_n = jnp.full((6,), 0.7)
+    res = mppi_solve(cfg, step, costs.quad2, key, (1.0, 0.0), u_n)
+    # oracle: same samples, mppi2 weighting
+    eps = r_sig * jax.random.normal(key, (128, 6), dtype=u_n.dtype)
+    v = np.clip(np.array(u_n + eps), -3.0, 3.0)
+    s = np.array(rollout_scores(step, costs.quad2, (jnp.float64(1.0), jnp.float64(0.0)),
+                                jnp.asarray(v), u_n, 1e9))  # control term ~0
+    c = -s  # pure cost
+    w = np.exp((-c / lam) - (v @ (np.array(u_n) / r_sig)))
+    want = (w / w.sum()) @ v
+    np.testing.assert_allclose(np.array(res.u_n), want, rtol=1e-6, atol=1e-9)
