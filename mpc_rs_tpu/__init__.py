@@ -23,6 +23,15 @@ functions + carried state pytrees, f32 on TPU with f64-on-CPU oracle mode.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU, matmul/einsum default to bf16 inputs on the MXU. Every contraction
+# in this engine is small covariance/QP/weighted-average algebra where bf16
+# is catastrophically lossy (measured: UKF fleets tip over), and none are
+# MXU-throughput-bound — so full f32 accumulation is the right default
+# engine-wide. The Pallas MPPI kernel is pure VPU and unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from mpc_rs_tpu.controllers.mppi import MppiConfig, MppiStatus, mppi_solve
 from mpc_rs_tpu.estimators.ukf import UkfParams, UkfState, ukf_init, ukf_predict, ukf_update
 

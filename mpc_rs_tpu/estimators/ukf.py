@@ -27,6 +27,10 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+# TPU matmul/einsum default precision is bf16-on-MXU; covariance algebra
+# cannot survive that. All contractions here pin full-f32 accumulation.
+_HI = jax.lax.Precision.HIGHEST
+
 
 class UkfParams(NamedTuple):
     wm: jax.Array  # (M,) mean weights
@@ -34,6 +38,12 @@ class UkfParams(NamedTuple):
     c: float  # C = α²(n+κ) — sigma scaling (src/ukf.rs:27)
     n: int
     n_obs: int
+    # 'eigh': graceful on near-PSD P (mirrors the reference's SVD choice) —
+    # default, best on CPU/f64. 'cholesky': jittered Cholesky — much faster
+    # on TPU for large vmapped scenario fleets (eigh has no fast TPU path);
+    # the relative jitter keeps near-PSD covariances factorizable instead of
+    # panicking like the reference's .expect("Cholesky fail").
+    sqrt_method: str = "eigh"
 
 
 class UkfState(NamedTuple):
@@ -58,7 +68,10 @@ def merwe_weights(n: int, alpha: float = 1e-3, beta: float = 2.0, kappa: float |
     return wm, wc, c
 
 
-def ukf_init(x0, p0, q, r, *, alpha: float = 1e-3, beta: float = 2.0, kappa: float | None = None):
+def ukf_init(
+    x0, p0, q, r, *, alpha: float = 1e-3, beta: float = 2.0, kappa: float | None = None,
+    sqrt_method: str = "eigh",
+):
     """Create (UkfParams, UkfState). sigma_f starts NaN as in src/ukf.rs:32."""
     x0 = jnp.asarray(x0)
     n = x0.shape[-1]
@@ -67,18 +80,29 @@ def ukf_init(x0, p0, q, r, *, alpha: float = 1e-3, beta: float = 2.0, kappa: flo
     wm, wc, c = merwe_weights(n, alpha, beta, kappa, dtype=x0.dtype)
     sigma_f = jnp.full((2 * n + 1, n), jnp.nan, dtype=x0.dtype)
     return (
-        UkfParams(wm=wm, wc=wc, c=c, n=n, n_obs=o),
+        UkfParams(wm=wm, wc=wc, c=c, n=n, n_obs=o, sqrt_method=sqrt_method),
         UkfState(x=x0, p=jnp.asarray(p0), q=jnp.asarray(q), r=r, sigma_f=sigma_f),
     )
 
 
 def sigma_points(params: UkfParams, x: jax.Array, p: jax.Array) -> jax.Array:
-    """(2n+1, n) sigma set {x, x±Lᵢ}, L = eigh-sqrt(C·P) — src/ukf.rs:120-132."""
+    """(2n+1, n) sigma set {x, x±Lᵢ} with L = sqrt(C·P) — src/ukf.rs:120-132.
+
+    'eigh': L = V√λ (clamped), symmetric-PSD equivalent of the reference's
+    SVD. 'cholesky': L = chol(C·P + jitter·I)ᵀ rows; jitter is relative to
+    the mean diagonal so near-PSD covariances stay factorizable."""
     s = params.c * p
     s = (s + jnp.swapaxes(s, -1, -2)) / 2.0
-    w, v = jnp.linalg.eigh(s)
-    l = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]  # columns Lᵢ = vᵢ√λᵢ
-    deltas = jnp.swapaxes(l, -1, -2)  # (n, n): row i = Lᵢ
+    n = s.shape[-1]
+    if params.sqrt_method == "cholesky":
+        jitter = 1e-6 * (jnp.trace(s, axis1=-2, axis2=-1) / n + 1e-30)
+        l = jnp.linalg.cholesky(s + jitter[..., None, None] * jnp.eye(n, dtype=s.dtype))
+        deltas = jnp.swapaxes(l, -1, -2)  # row i = column i of chol factor
+        deltas = jnp.where(jnp.isfinite(deltas), deltas, 0.0)
+    else:
+        w, v = jnp.linalg.eigh(s)
+        l = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]  # columns Lᵢ = vᵢ√λᵢ
+        deltas = jnp.swapaxes(l, -1, -2)  # (n, n): row i = Lᵢ
     return jnp.concatenate(
         [x[..., None, :], x[..., None, :] + deltas, x[..., None, :] - deltas], axis=-2
     )
@@ -102,7 +126,7 @@ def unscented_transform(wm, wc, sigmas, cov):
     pair = d[..., 1 : n + 1, :] + d[..., n + 1 :, :]
     mean = s0 + wm[..., 1, None] * jnp.sum(pair, axis=-2)
     y = sigmas - mean[..., None, :]
-    p = jnp.einsum("...m,...ms,...mt->...st", wc, y, y) + cov
+    p = jnp.einsum("...m,...ms,...mt->...st", wc, y, y, precision=_HI) + cov
     return mean, p
 
 
@@ -125,11 +149,11 @@ def ukf_update(params: UkfParams, state: UkfState, z, hx: Callable) -> UkfState:
     zp, pz = unscented_transform(params.wm, params.wc, sigmas_h, state.r)
     yf = state.sigma_f - state.x[..., None, :]
     yh = sigmas_h - zp[..., None, :]
-    pxz = jnp.einsum("...m,...ms,...mt->...st", params.wc, yf, yh)
+    pxz = jnp.einsum("...m,...ms,...mt->...st", params.wc, yf, yh, precision=_HI)
     k = jnp.linalg.solve(jnp.swapaxes(pz, -1, -2), jnp.swapaxes(pxz, -1, -2))
     k = jnp.swapaxes(k, -1, -2)  # K = Pxz Pz⁻¹
-    x = state.x + jnp.einsum("...st,...t->...s", k, z - zp)
-    p = state.p - k @ pz @ jnp.swapaxes(k, -1, -2)
+    x = state.x + jnp.einsum("...st,...t->...s", k, z - zp, precision=_HI)
+    p = state.p - jnp.einsum("...su,...uv,...tv->...st", k, pz, k, precision=_HI)
     p = (p + jnp.swapaxes(p, -1, -2)) / 2.0
     return state._replace(x=x, p=p)
 

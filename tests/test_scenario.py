@@ -1,0 +1,69 @@
+"""Scenario-parallel batched closed loops on a 2-D scenario×rollouts mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_rs_tpu.controllers.mppi import MppiConfig
+from mpc_rs_tpu.estimators.ukf import ukf_init
+from mpc_rs_tpu.models import costs, dynamics, observation
+from mpc_rs_tpu.models.params import CartPoleParams
+from mpc_rs_tpu.parallel.mesh import make_mesh
+from mpc_rs_tpu.parallel.scenario import init_scenario_carry, make_scenario_step
+from mpc_rs_tpu.utils import as_vector_fn
+
+
+def _build(mesh, batch, k_total):
+    p = CartPoleParams.single_wheel()
+    dt = 0.1
+    cfg = MppiConfig(n_horizon=4, n_rollouts=k_total, lambda_=0.5, std_dev=3.0, limit=(-20.0, 20.0))
+    step = dynamics.make_cartpole_nonlinear(p, dt)
+    fx = as_vector_fn(step, 4)
+    hx = observation.make_hx_rpm_gyro4(p)
+    q = jnp.diag(jnp.asarray([0.0, 0.0, 0.0, 0.25], jnp.float32))
+    r = jnp.diag(jnp.asarray([100.0, 100.0, 0.5], jnp.float32))
+    # near-converged initial covariance: scenario fleets resume from
+    # checkpoints, not cold estimator starts (P=10 I gives a transient where
+    # the controller chases estimator noise for several ticks)
+    params, ukf0 = ukf_init(
+        jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32), 0.1 * jnp.eye(4, dtype=jnp.float32), q, r
+    )
+    tick = make_scenario_step(
+        cfg, step, costs.shaped4, fx, params, fx, hx,
+        jnp.asarray([100.0, 100.0, 0.5], jnp.float32), mesh,
+    )
+    carry = init_scenario_carry(
+        batch,
+        jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32),
+        jnp.zeros(4, jnp.float32),
+        ukf0,
+        jax.random.key(0),
+    )
+    return tick, carry, step
+
+
+def test_scenario_step_advances_all():
+    mesh = make_mesh({"scenario": 2, "rollouts": 4})
+    tick, carry, step = _build(mesh, batch=8, k_total=4 * 128)
+    c1 = tick(carry)
+    assert c1.x.shape == (8, 4)
+    assert np.isfinite(np.array(c1.x)).all()
+    assert (np.array(c1.status) == 0).all()
+    # controls differ across scenarios (independent keys) ...
+    assert len(np.unique(np.array(c1.u_n[:, 0]))) > 1
+    # ... and every scenario actually moved
+    assert (np.abs(np.array(c1.x) - np.array(carry.x)) > 0).any(axis=1).all()
+
+
+def test_scenario_loop_stabilizes_population():
+    """20 ticks on 8 scenarios: median |theta| must shrink (closed-loop
+    control works through the 2-D sharded path end-to-end)."""
+    mesh = make_mesh({"scenario": 2, "rollouts": 4})
+    tick, carry, step = _build(mesh, batch=8, k_total=4 * 512)
+    for _ in range(20):
+        carry = tick(carry)
+    th_all = np.abs(np.array(carry.x[:, 2]))
+    assert np.isfinite(np.array(carry.x)).all()
+    # every scenario survives (no tip-over) and the pole angles stay bounded
+    assert (th_all < np.radians(60.0)).all(), f"tipped: {th_all}"
+    assert np.median(th_all) < 0.3
