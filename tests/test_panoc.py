@@ -215,3 +215,28 @@ def test_pid_linear_pendulum_episode():
     assert tipped.any(), "expected the under-gained PID baseline to tip over"
     # and the tip-over is not immediate (controller does push back a while)
     assert np.argmax(tipped) > 300
+
+
+def test_panoc_vmap_batched_scenarios():
+    """panoc_solve is vmappable: a batch of box-QPs solved in one call
+    matches per-instance solves (the batched gradient-MPC fleet path)."""
+    rng = np.random.default_rng(7)
+    n, b = 6, 5
+    hs = []
+    bs = []
+    for _ in range(b):
+        a = rng.normal(size=(n, n))
+        hs.append(a @ a.T + 4 * np.eye(n))
+        bs.append(rng.normal(size=n))
+    hs, bs = jnp.asarray(np.array(hs)), jnp.asarray(np.array(bs))
+    cfg = PanocConfig(tol=1e-8, max_iter=300, lbfgs_mem=10)
+    proj = box_projection(-0.5, 0.5)
+
+    def solve_one(h, bvec):
+        f = lambda u: 0.5 * u @ (h @ u) + bvec @ u
+        return panoc_solve(cfg, f, proj, jnp.zeros(n)).u
+
+    batched = jax.vmap(solve_one)(hs, bs)
+    for i in range(b):
+        single = solve_one(hs[i], bs[i])
+        np.testing.assert_allclose(np.array(batched[i]), np.array(single), atol=1e-6)
