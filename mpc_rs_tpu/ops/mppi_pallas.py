@@ -214,6 +214,170 @@ def mppi_pallas_partials(
     return MppiPartials(m=m[0, 0], s=s[0, 0], uw=jnp.sum(uw, axis=-1))
 
 
+def _make_batched_kernel(
+    dynamics: Callable,
+    cost: Callable,
+    cfg: MppiConfig,
+    n_state: int,
+    block_sublanes: int,
+):
+    """Scenario-batched variant: grid (B, num_k_blocks), k innermost so the
+    per-scenario streaming accumulators in the output refs are written by
+    consecutive grid steps (TPU iterates the last grid dim fastest)."""
+    n = cfg.n_horizon
+    bs = block_sublanes
+    inv = cfg.std_dev ** -2.0 if cfg.control_inv is None else cfg.control_inv
+    lo, hi = cfg.limit
+    neg_big = np.float32(-3.4e38)
+    inv_lambda = np.float32(1.0 / cfg.lambda_)
+
+    def kernel(seed_ref, x0_ref, u_n_ref, m_ref, s_ref, uw_ref, v_buf, ms_acc):
+        # x0_ref/u_n_ref are (8,128) VMEM row-blocks (SMEM can't hold
+        # B-sized prefetch arrays); seeds stay scalar-prefetch.
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        n_i = pl.num_programs(1)
+        row = b % 8  # row within the (8, 128)-blocked per-scenario refs
+
+        @pl.when(i == 0)
+        def _init():
+            # per-scenario running (m, s) live in SMEM scratch; VMEM rows are
+            # written once at the scenario's last k-block
+            ms_acc[0] = neg_big
+            ms_acc[1] = 0.0
+            uw_ref[...] = jnp.zeros_like(uw_ref)
+
+        # hardware seed takes at most 2 values; fold (scenario, block) into one
+        pltpu.prng_seed(seed_ref[b], b * jnp.int32(100003) + i)
+
+        for t0 in range(0, n, 2):
+            bits = pltpu.prng_random_bits((2, bs, _LANES))
+            u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+            u2 = pltpu.bitcast(
+                (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                jnp.float32,
+            ) - 1.0
+            r = cfg.std_dev * jnp.sqrt(-2.0 * jnp.log(u1))
+            ang = _TWO_PI * u2
+            v_buf[t0] = jnp.clip(u_n_ref[row, t0] + r * jnp.cos(ang), lo, hi)
+            if t0 + 1 < n:
+                v_buf[t0 + 1] = jnp.clip(u_n_ref[row, t0 + 1] + r * jnp.sin(ang), lo, hi)
+
+        xs = tuple(
+            jnp.full((bs, _LANES), x0_ref[row, j], dtype=jnp.float32) for j in range(n_state)
+        )
+        c = jnp.zeros((bs, _LANES), jnp.float32)
+        ct = jnp.zeros((bs, _LANES), jnp.float32)
+        for t in range(n):
+            v_t = v_buf[t]
+            xs = dynamics(*xs, v_t)
+            c = c + cost(*xs)
+            ct = ct + u_n_ref[row, t] * inv * v_t
+        score = -c - ct
+
+        finite = jnp.isfinite(score)
+        block_max = jnp.max(jnp.where(finite, score, neg_big))
+        m_old = ms_acc[0]
+        m_new = jnp.maximum(m_old, block_max)
+        scale = jnp.exp((m_old - m_new) * inv_lambda)
+        e = jnp.where(finite, jnp.exp((score - m_new) * inv_lambda), 0.0)
+        ms_acc[1] = ms_acc[1] * scale + jnp.sum(e)
+        ms_acc[0] = m_new
+        for t in range(n):
+            uw_ref[0, t, :] = uw_ref[0, t, :] * scale + jnp.sum(e * v_buf[t], axis=0)
+
+        @pl.when(i == n_i - 1)
+        def _finalize():
+            m_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), ms_acc[0], jnp.float32)
+            s_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), ms_acc[1], jnp.float32)
+
+    return kernel
+
+
+def mppi_pallas_batch_partials(
+    cfg: MppiConfig,
+    dynamics: Callable,
+    cost: Callable,
+    n_state: int,
+    seeds: jax.Array,  # (B,) int32
+    xs: jax.Array,  # (B, S)
+    u_ns: jax.Array,  # (B, N)
+    *,
+    n_rollouts: int | None = None,
+    block_sublanes: int | None = None,
+    interpret: bool = False,
+) -> MppiPartials:
+    """Fused kernel over a scenario batch: every scenario gets its own
+    cfg.n_rollouts samples from its own state/nominal/seed. Returns
+    partials with leading batch dim (m: (B,), s: (B,), uw: (B, N))."""
+    b = xs.shape[0]
+    k = n_rollouts or cfg.n_rollouts
+    if block_sublanes is None:
+        block_sublanes = max(8, min(256, k // (_LANES * 2)))
+    bk = block_sublanes * _LANES
+    num_blocks = pl.cdiv(k, bk)
+    n = cfg.n_horizon
+
+    if b % 8:
+        raise ValueError(f"scenario batch {b} must be a multiple of 8")
+    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes)
+    row_block = pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # seeds only (SMEM is too small for B-sized x0/u_n)
+        grid=(b, num_blocks),
+        in_specs=[row_block, row_block],  # x0 (B,128) lane-padded, u_n (B,128)
+        out_specs=[
+            # (8,128) row blocks: 8 consecutive scenarios share a block and
+            # are fully written before the grid leaves it (k is innermost)
+            pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, _LANES), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, block_sublanes, _LANES), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+        ],
+    )
+    m, s, uw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, _LANES), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray(seeds, jnp.int32).reshape(b),
+        _pad_lanes(jnp.asarray(xs, jnp.float32)),
+        _pad_lanes(jnp.asarray(u_ns, jnp.float32)),
+    )
+    return MppiPartials(m=m[:, 0], s=s[:, 0], uw=jnp.sum(uw, axis=-1))
+
+
+def _pad_lanes(a: jax.Array) -> jax.Array:
+    """(B, d) -> (B, 128) zero-padded so per-scenario rows are VMEM tiles."""
+    b, d = a.shape
+    if d > _LANES:
+        raise ValueError(f"last dim {d} exceeds lane width {_LANES}")
+    return jnp.pad(a, ((0, 0), (0, _LANES - d)))
+
+
+def mppi_solve_pallas_batch(
+    cfg: MppiConfig,
+    dynamics: Callable,
+    cost: Callable,
+    n_state: int,
+    seeds: jax.Array,
+    xs: jax.Array,
+    u_ns: jax.Array,
+    **kw,
+):
+    """Batched solve: (B,) statuses and (B, N) sequences with zero fallback."""
+    parts = mppi_pallas_batch_partials(cfg, dynamics, cost, n_state, seeds, xs, u_ns, **kw)
+    return jax.vmap(lambda p, u: finalize_partials(cfg, p, u))(parts, u_ns)
+
+
 def mppi_solve_pallas(
     cfg: MppiConfig,
     dynamics: Callable,

@@ -10,6 +10,10 @@ SPMD layout:
 
 States are sharded P('scenario') over leading batch dim and replicated
 over 'rollouts'; controls come back replicated over 'rollouts'.
+
+Backends: 'pallas' (default on TPU) runs all local scenarios' MPPI in one
+scenario-batched fused kernel (ops.mppi_pallas_batch_partials); 'jnp' uses
+the vmap reference path (CPU meshes, parity tests).
 """
 
 from __future__ import annotations
@@ -19,11 +23,15 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mpc_rs_tpu.controllers.mppi import MppiConfig
 from mpc_rs_tpu.estimators.ukf import UkfParams, UkfState, ukf_predict, ukf_update
-from mpc_rs_tpu.ops.mppi_pallas import MppiPartials, finalize_partials
+from mpc_rs_tpu.ops.mppi_pallas import (
+    MppiPartials,
+    finalize_partials,
+    mppi_pallas_batch_partials,
+)
 from mpc_rs_tpu.parallel.sharded_mppi import _jnp_partials
 
 
@@ -49,6 +57,8 @@ def make_scenario_step(
     scenario_axis: str = "scenario",
     rollout_axis: str = "rollouts",
     state_slice=None,  # e.g. 6-state estimate -> 4-state controller input
+    backend: str = "jnp",
+    n_state: int | None = None,
 ):
     """Returns jitted ``step(carry) -> carry`` advancing every scenario one
     control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
@@ -58,35 +68,55 @@ def make_scenario_step(
         raise ValueError("K not divisible by rollout axis")
     k_local = cfg.n_rollouts // n_dev_r
     sig = jnp.asarray(sensor_stddevs)
+    if n_state is None:
+        n_state = len(state_slice) if state_slice is not None else None
 
-    def mppi_local(key, x_ctrl, u_n):
-        parts = _jnp_partials(cfg, dynamics, cost, key, tuple(x_ctrl), u_n, k_local)
+    def merge(parts: MppiPartials) -> MppiPartials:
+        # batched partials: m/s are (B,), uw is (B, N)
         m_g = jax.lax.pmax(parts.m, rollout_axis)
         scale = jnp.exp((parts.m - m_g) / cfg.lambda_)
-        parts = MppiPartials(
+        return MppiPartials(
             m=m_g,
             s=jax.lax.psum(parts.s * scale, rollout_axis),
-            uw=jax.lax.psum(parts.uw * scale, rollout_axis),
+            uw=jax.lax.psum(parts.uw * scale[..., None], rollout_axis),
         )
-        return finalize_partials(cfg, parts, u_n)
 
     def shard_fn(carry: ScenarioCarry) -> ScenarioCarry:
         my_r = jax.lax.axis_index(rollout_axis)
 
-        def one_scenario(x, u_n, ukf, key, _status):
-            key, k_mppi, k_sens = jax.random.split(key, 3)
-            # decorrelate rollout shards; scenarios decorrelate via their keys
-            k_mppi = jax.random.fold_in(k_mppi, my_r)
-            x_hat = ukf.x if state_slice is None else ukf.x[jnp.asarray(state_slice)]
-            u_new, status = mppi_local(k_mppi, x_hat, u_n)
-            u0 = u_new[0]
+        keys = jax.vmap(lambda k: jax.random.split(k, 3))(carry.key)
+        key_next, k_mppi, k_sens = keys[:, 0], keys[:, 1], keys[:, 2]
+        # decorrelate rollout shards; scenarios decorrelate via their keys
+        k_mppi = jax.vmap(lambda k: jax.random.fold_in(k, my_r))(k_mppi)
+        x_hats = carry.ukf.x if state_slice is None else carry.ukf.x[:, jnp.asarray(state_slice)]
+
+        if backend == "pallas":
+            ns = n_state if n_state is not None else x_hats.shape[-1]
+            seeds = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+            )(k_mppi)
+            parts = mppi_pallas_batch_partials(
+                cfg, dynamics, cost, ns, seeds, x_hats, carry.u_n, n_rollouts=k_local
+            )
+        else:
+            parts = jax.vmap(
+                lambda k, xh, u: _jnp_partials(
+                    cfg, dynamics, cost, k, tuple(xh), u, k_local
+                )
+            )(k_mppi, x_hats, carry.u_n)
+        parts = merge(parts)
+        u_new, status = jax.vmap(lambda p, u: finalize_partials(cfg, p, u))(parts, carry.u_n)
+
+        def rest(x, u_seq, ukf, ks):
+            u0 = u_seq[0]
             x_next = plant_fx(x, u0)
-            z = ukf_hx(x_next) + sig * jax.random.normal(k_sens, sig.shape, dtype=sig.dtype)
+            z = ukf_hx(x_next) + sig * jax.random.normal(ks, sig.shape, dtype=sig.dtype)
             ukf = ukf_predict(ukf_params, ukf, u0, ukf_fx)
             ukf = ukf_update(ukf_params, ukf, z, ukf_hx)
-            return ScenarioCarry(x=x_next, u_n=u_new, ukf=ukf, key=key, status=status)
+            return x_next, ukf
 
-        return jax.vmap(one_scenario)(carry.x, carry.u_n, carry.ukf, carry.key, carry.status)
+        x_next, ukf = jax.vmap(rest)(carry.x, u_new, carry.ukf, k_sens)
+        return ScenarioCarry(x=x_next, u_n=u_new, ukf=ukf, key=key_next, status=status)
 
     spec_b = P(scenario_axis)  # batch-leading arrays: sharded over scenario,
     # replicated over rollouts (each rollout-shard sees the whole sub-batch)

@@ -169,3 +169,27 @@ def test_kernel_prng_statistics_tpu():
     )
     assert int(st) == MppiStatus.OK
     np.testing.assert_allclose(np.array(u), 0.0, atol=0.05)
+
+
+def test_batched_kernel_interpret_structure():
+    """Scenario-batched kernel: shapes/statuses/per-scenario independence.
+    (Interpreter PRNG is a zero stub ⇒ every sample = clip(u_n); the
+    weighted average must then equal clip(u_n) per scenario — an exact
+    closed-form check of the batched accumulator plumbing.)"""
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
+
+    step = dynamics.make_double_integrator(0.05)
+    b, k = 16, 2048
+    cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=2.5, std_dev=1.0, limit=(-3.0, 3.0))
+    u_ns = jnp.tile(jnp.linspace(-5.0, 5.0, 8, dtype=jnp.float32), (b, 1))
+    u_ns = u_ns * (jnp.arange(b, dtype=jnp.float32)[:, None] + 1) / b
+    xs = jnp.stack([jnp.linspace(-1, 1, b, dtype=jnp.float32), jnp.zeros(b, jnp.float32)], axis=-1)
+    u, st = mppi_solve_pallas_batch(
+        cfg, step, costs.quad2, 2, jnp.arange(b, dtype=jnp.int32), xs, u_ns,
+        interpret=True, block_sublanes=8,
+    )
+    assert u.shape == (b, 8) and st.shape == (b,)
+    assert (np.array(st) == 0).all()
+    np.testing.assert_allclose(
+        np.array(u), np.clip(np.array(u_ns), -3.0, 3.0), rtol=1e-5, atol=1e-6
+    )

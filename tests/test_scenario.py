@@ -16,12 +16,16 @@ from mpc_rs_tpu.utils import as_vector_fn
 def _build(mesh, batch, k_total):
     p = CartPoleParams.single_wheel()
     dt = 0.1
-    cfg = MppiConfig(n_horizon=4, n_rollouts=k_total, lambda_=0.5, std_dev=3.0, limit=(-20.0, 20.0))
+    # N=8 (T=0.8 s) as in mppi4-non-liner; a 4-step horizon is marginally
+    # stable for this plant and flips with sampling luck
+    cfg = MppiConfig(n_horizon=8, n_rollouts=k_total, lambda_=0.5, std_dev=3.0, limit=(-20.0, 20.0))
     step = dynamics.make_cartpole_nonlinear(p, dt)
     fx = as_vector_fn(step, 4)
     hx = observation.make_hx_rpm_gyro4(p)
     q = jnp.diag(jnp.asarray([0.0, 0.0, 0.0, 0.25], jnp.float32))
-    r = jnp.diag(jnp.asarray([100.0, 100.0, 0.5], jnp.float32))
+    # one observation per 0.1 s control tick (the reference observes at
+    # ~100 Hz); noise scaled to this cadence for a stabilizable fleet
+    r = jnp.diag(jnp.asarray([50.0, 50.0, 0.2], jnp.float32))
     # near-converged initial covariance: scenario fleets resume from
     # checkpoints, not cold estimator starts (P=10 I gives a transient where
     # the controller chases estimator noise for several ticks)
@@ -30,12 +34,12 @@ def _build(mesh, batch, k_total):
     )
     tick = make_scenario_step(
         cfg, step, costs.shaped4, fx, params, fx, hx,
-        jnp.asarray([100.0, 100.0, 0.5], jnp.float32), mesh,
+        jnp.asarray([50.0, 50.0, 0.2], jnp.float32), mesh,
     )
     carry = init_scenario_carry(
         batch,
         jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32),
-        jnp.zeros(4, jnp.float32),
+        jnp.zeros(8, jnp.float32),
         ukf0,
         jax.random.key(0),
     )
