@@ -95,8 +95,10 @@ def sigma_points(params: UkfParams, x: jax.Array, p: jax.Array) -> jax.Array:
     s = (s + jnp.swapaxes(s, -1, -2)) / 2.0
     n = s.shape[-1]
     if params.sqrt_method == "cholesky":
+        from mpc_rs_tpu.estimators.smallalg import chol_unrolled
+
         jitter = 1e-6 * (jnp.trace(s, axis1=-2, axis2=-1) / n + 1e-30)
-        l = jnp.linalg.cholesky(s + jitter[..., None, None] * jnp.eye(n, dtype=s.dtype))
+        l = chol_unrolled(s + jitter[..., None, None] * jnp.eye(n, dtype=s.dtype))
         deltas = jnp.swapaxes(l, -1, -2)  # row i = column i of chol factor
         deltas = jnp.where(jnp.isfinite(deltas), deltas, 0.0)
     else:
@@ -150,7 +152,13 @@ def ukf_update(params: UkfParams, state: UkfState, z, hx: Callable) -> UkfState:
     yf = state.sigma_f - state.x[..., None, :]
     yh = sigmas_h - zp[..., None, :]
     pxz = jnp.einsum("...m,...ms,...mt->...st", params.wc, yf, yh, precision=_HI)
-    k = jnp.linalg.solve(jnp.swapaxes(pz, -1, -2), jnp.swapaxes(pxz, -1, -2))
+    if params.sqrt_method == "cholesky":
+        # Pz is SPD: unrolled Cholesky solve fuses into the batched tick
+        from mpc_rs_tpu.estimators.smallalg import spd_solve_unrolled
+
+        k = spd_solve_unrolled(pz, jnp.swapaxes(pxz, -1, -2))
+    else:
+        k = jnp.linalg.solve(jnp.swapaxes(pz, -1, -2), jnp.swapaxes(pxz, -1, -2))
     k = jnp.swapaxes(k, -1, -2)  # K = Pxz Pz⁻¹
     x = state.x + jnp.einsum("...st,...t->...s", k, z - zp, precision=_HI)
     p = state.p - jnp.einsum("...su,...uv,...tv->...st", k, pz, k, precision=_HI)
