@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from mpc_rs_tpu.apps import commu_examples, estimator_examples, mpc_examples, mppi_examples
+from mpc_rs_tpu.apps import commu_examples, estimator_examples, fleet as fleet_mod, mpc_examples, mppi_examples
 
 EXAMPLES = {
     # MPPI family
@@ -33,6 +33,8 @@ EXAMPLES = {
     "mppi4-ukf-commu": commu_examples.mppi4_ukf_commu,
     "mpc-ukf-commu": commu_examples.mpc_ukf_commu,
     # op-mpc-tmp.rs is dead code in the reference (SURVEY §2c) — omitted.
+    # beyond-parity workloads:
+    "fleet": fleet_mod.fleet,  # scenario-fleet north star (BASELINE.json)
 }
 
 

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sim-mcu", action="store_true",
                     help="replace the robot with a fake MCU behind a PTY")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--scenarios", type=int, default=1024, help="fleet batch size")
+    ap.add_argument("--report-every", type=float, default=1.0, help="fleet report period [s]")
+    ap.add_argument("--resume", default=None, help="fleet checkpoint to resume from")
     return ap
 
 

@@ -15,14 +15,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _is_key(a) -> bool:
+    try:
+        return jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key)
+    except (AttributeError, TypeError):
+        return False
+
+
 def save_pytree(path: str, tree) -> None:
     leaves = jax.tree.leaves(tree)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    arrays = {}
+    for i, l in enumerate(leaves):
+        # typed PRNG keys are stored as their raw uint32 key data
+        arrays[f"leaf_{i}"] = np.asarray(jax.random.key_data(l) if _is_key(l) else l)
+    np.savez(path, **arrays)
 
 
 def load_pytree(path: str, template):
-    """Restore into the structure of ``template`` (dtypes follow template)."""
+    """Restore into the structure of ``template`` (dtypes follow template;
+    typed-PRNG-key leaves are re-wrapped from their stored key data)."""
     data = np.load(path)
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
     t_leaves, treedef = jax.tree.flatten(template)
@@ -30,7 +42,10 @@ def load_pytree(path: str, template):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, template expects {len(t_leaves)}"
         )
-    cast = [
-        jnp.asarray(l, dtype=getattr(t, "dtype", None)) for l, t in zip(leaves, t_leaves)
-    ]
+    cast = []
+    for l, t in zip(leaves, t_leaves):
+        if _is_key(t):
+            cast.append(jax.random.wrap_key_data(jnp.asarray(l)))
+        else:
+            cast.append(jnp.asarray(l, dtype=getattr(t, "dtype", None)))
     return jax.tree.unflatten(treedef, cast)

@@ -22,7 +22,7 @@ def _run(argv, tmp_path):
 def test_parser_lists_all_examples():
     from mpc_rs_tpu.apps.registry import EXAMPLES
 
-    assert len(EXAMPLES) == 23  # every reference binary except dead op-mpc-tmp
+    assert len(EXAMPLES) == 24  # 23 reference binaries (sans dead op-mpc-tmp) + fleet
     ap = build_parser()
     args = ap.parse_args(["mppi2", "--k", "16"])
     assert args.example == "mppi2" and args.k == 16
@@ -75,3 +75,16 @@ def test_uart_sim_mcu(tmp_path):
     n, out = _run(["uart", "--sim-mcu", "--t-end", "1.5"], tmp_path)
     assert n > 10  # ~100 Hz stream for 1.5 s
     assert "State(" in out
+
+
+def test_fleet_runs_and_checkpoints(tmp_path):
+    out, text = _run(["fleet", "--scenarios", "16", "--k", "256", "--t-end", "1.0"], tmp_path)
+    assert "survival=" in text
+    assert os.path.exists(tmp_path / "fleet" / "fleet.npz")
+    # resume path restores without error
+    out2, text2 = _run(
+        ["fleet", "--scenarios", "16", "--k", "256", "--t-end", "0.5",
+         "--resume", str(tmp_path / "fleet" / "fleet.npz")],
+        tmp_path,
+    )
+    assert "resumed fleet" in text2
