@@ -27,7 +27,6 @@ from mpc_rs_tpu.io.serial import PtyPair, SerialPort
 from mpc_rs_tpu.models import costs, dynamics, noise, observation, reference
 from mpc_rs_tpu.models.params import CartPoleParams
 from mpc_rs_tpu.runtime.logger import CsvLogger
-from mpc_rs_tpu.utils import as_vector_fn
 
 
 class SimMcu:

@@ -24,7 +24,7 @@ from mpc_rs_tpu.estimators.ukf import ukf_init
 from mpc_rs_tpu.models import costs, dynamics, observation
 from mpc_rs_tpu.models.params import CartPoleParams
 from mpc_rs_tpu.parallel.mesh import make_mesh
-from mpc_rs_tpu.parallel.scenario import ScenarioCarry, init_scenario_carry, make_scenario_step
+from mpc_rs_tpu.parallel.scenario import init_scenario_carry, make_scenario_step
 from mpc_rs_tpu.runtime.checkpoint import load_pytree, save_pytree
 from mpc_rs_tpu.utils import as_vector_fn
 

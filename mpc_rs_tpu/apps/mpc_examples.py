@@ -3,8 +3,6 @@ mpc-ukf-x.rs, mpc-ukf-s.rs."""
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,7 +13,6 @@ from mpc_rs_tpu.models import costs, dynamics, noise, observation
 from mpc_rs_tpu.models.params import CartPoleParams
 from mpc_rs_tpu.runtime.logger import CsvLogger
 from mpc_rs_tpu.runtime.loop import MultiRateConfig, pulse_disturbance, run_multirate_loop
-from mpc_rs_tpu.utils import as_vector_fn
 
 
 def mppi2(args):

@@ -24,7 +24,6 @@ Layout: rollouts on the 128-lane minor axis, BS sublanes per block
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Callable, NamedTuple
 

@@ -13,7 +13,6 @@ normalization without a second pass").
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

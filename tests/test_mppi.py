@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mpc_rs_tpu.controllers.mppi import MppiConfig, MppiStatus, mppi_solve, rollout_scores
 from mpc_rs_tpu.models import costs, dynamics

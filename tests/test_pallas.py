@@ -11,10 +11,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mpc_rs_tpu.controllers.mppi import MppiConfig, MppiStatus, mppi_solve, rollout_scores
+from mpc_rs_tpu.controllers.mppi import MppiConfig, MppiStatus, rollout_scores
 from mpc_rs_tpu.models import costs, dynamics
 from mpc_rs_tpu.models.params import CartPoleParams
-from mpc_rs_tpu.ops.mppi_pallas import mppi_pallas_partials, mppi_solve_pallas
+from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas
 from mpc_rs_tpu.parallel import make_mesh, make_sharded_mppi
 
 P = CartPoleParams.single_wheel()

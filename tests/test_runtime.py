@@ -1,13 +1,11 @@
 """Runtime: checkpoint/resume, profiler, CSV logger, multirate loop, scaling."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mpc_rs_tpu.controllers.mppi import MppiConfig
-from mpc_rs_tpu.estimators.ukf import UkfState, ukf_init
+from mpc_rs_tpu.estimators.ukf import ukf_init
 from mpc_rs_tpu.models import costs, dynamics
 from mpc_rs_tpu.models.params import CartPoleParams
 from mpc_rs_tpu.parallel.scaling import measure_scaling
