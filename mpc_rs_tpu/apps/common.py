@@ -28,6 +28,9 @@ def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str
     On TPU: the fused Pallas kernel; elsewhere: the vmap reference path
     (identical semantics, threefry sampling)."""
     backend = pick_backend(backend)
+    # conversions stay numpy (host-side, free); the jitted call moves data in
+    # ONE dispatch — eager jnp.asarray would cost a device round trip each
+    # on a remote/tunneled TPU.
     if backend == "pallas":
 
         @jax.jit
@@ -35,7 +38,7 @@ def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str
             return mppi_solve_pallas(cfg, dynamics, cost, n_state, seed, x, u_n)
 
         return lambda seed, x, u_n: solve(
-            jnp.int32(seed), jnp.asarray(x, jnp.float32), u_n
+            np.int32(seed), np.asarray(x, np.float32), u_n
         )
 
     @jax.jit
@@ -45,13 +48,39 @@ def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str
 
     return lambda seed, x, u_n: solve(
         jax.random.key(seed) if isinstance(seed, int) else seed,
-        jnp.asarray(x, jnp.float32),
+        np.asarray(x, np.float32),
         u_n,
     )
 
 
+def _cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+_CPU = _cpu_device()
+
+
+def host_device():
+    """Context manager pinning eager jnp ops to the host CPU device (no-op
+    when no CPU device is registered)."""
+    import contextlib
+
+    return jax.default_device(_CPU) if _CPU is not None else contextlib.nullcontext()
+
+
 def np_step(step, x, u, *extra):
-    """Apply a component-wise dynamics step to a numpy state vector."""
+    """Apply a component-wise dynamics step to a numpy state vector.
+
+    Runs eagerly on the HOST CPU device: on a remote/tunneled TPU, eager
+    scalar ops would otherwise each pay a network round trip (~0.4 s here),
+    turning a 1 ms plant step into tens of seconds."""
+    if _CPU is not None:
+        with jax.default_device(_CPU):
+            out = step(*(float(c) for c in x), float(u), *extra)
+            return np.array([float(v) for v in out], dtype=np.float64)
     return np.array(
         [float(v) for v in step(*(float(c) for c in x), float(u), *extra)], dtype=np.float64
     )

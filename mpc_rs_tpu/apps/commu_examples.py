@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpc_rs_tpu.apps.common import DEG60, PI_2, Elapsed, make_mppi_solver, np_step
+from mpc_rs_tpu.apps.common import DEG60, PI_2, Elapsed, host_device, make_mppi_solver, np_step
 from mpc_rs_tpu.controllers.mppi import MppiConfig
 from mpc_rs_tpu.controllers.panoc import PanocConfig, box_projection, panoc_solve
 from mpc_rs_tpu.controllers.qp import build_condensed_qp, make_qp_value_and_grad
@@ -94,7 +94,8 @@ class SimMcu:
             if t >= next_send:
                 next_send += 1.0 / self.rate
                 if self.mode == "sensor3":
-                    z = np.array(self.hx(jnp.asarray(self.x, jnp.float32)))
+                    with host_device():
+                        z = np.array(self.hx(jnp.asarray(self.x, jnp.float32)))
                     z += self.rng.normal(size=5) * [20.0, 20.0, 2.0, 0.05, 0.05]
                     pkt = Sensor3(
                         enable=self.enable,

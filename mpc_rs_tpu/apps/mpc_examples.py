@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpc_rs_tpu.apps.common import Elapsed, PI_2, np_step
+from mpc_rs_tpu.apps.common import Elapsed, PI_2, host_device, np_step
 from mpc_rs_tpu.controllers.panoc import (
     PanocConfig,
     ball2_projection,
@@ -270,7 +270,9 @@ def mpc_ukf_s(args):
     rng = np.random.default_rng(args.seed)
 
     def sensor(rng_, x):
-        return np.array(hx(jnp.asarray(x, jnp.float32))) + rng_.normal(size=5) * r_diag
+        with host_device():
+            z = np.array(hx(jnp.asarray(x, jnp.float32)))
+        return z + rng_.normal(size=5) * r_diag
 
     def controller(key, xh, u_n):
         x4 = jnp.asarray([xh[0], xh[1], xh[3], xh[4]])

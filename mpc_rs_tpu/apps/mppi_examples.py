@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpc_rs_tpu.apps.common import DEG60, PI_2, Elapsed, make_mppi_solver, np_step
+from mpc_rs_tpu.apps.common import DEG60, PI_2, Elapsed, host_device, make_mppi_solver, np_step
 from mpc_rs_tpu.controllers.mppi import MppiConfig
 from mpc_rs_tpu.estimators.ukf import ukf_init, ukf_predict, ukf_update
 from mpc_rs_tpu.models import costs, dynamics, noise, observation
@@ -120,7 +120,8 @@ def mppi4_non_liner_s(args):
     rng = np.random.default_rng(args.seed)
 
     def sensor(rng_, x):
-        z = np.array(hx(jnp.asarray(x, jnp.float32)))
+        with host_device():
+            z = np.array(hx(jnp.asarray(x, jnp.float32)))
         return z + rng_.normal(size=3) * [50.0, 50.0, 0.5]
 
     mr = MultiRateConfig(
@@ -192,7 +193,8 @@ def mppi4_non_liner_ukf(args):
     rng = np.random.default_rng(args.seed)
 
     def sensor(rng_, x):
-        z = np.array(hx(jnp.asarray(x, jnp.float32)))
+        with host_device():
+            z = np.array(hx(jnp.asarray(x, jnp.float32)))
         return z + rng_.normal(size=5) * r_diag
 
     def controller(key, xh, u_n):
