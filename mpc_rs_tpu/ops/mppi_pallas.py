@@ -52,12 +52,14 @@ def _make_kernel(
     n_state: int,
     block_sublanes: int,
     use_prng: bool,
+    k_total: int,
 ):
     n = cfg.n_horizon
     bs = block_sublanes
     inv = cfg.std_dev ** -2.0 if cfg.control_inv is None else cfg.control_inv
     lo, hi = cfg.limit
     neg_big = np.float32(-3.4e38)
+    bk = bs * _LANES
 
     def kernel(seed_ref, x0_ref, u_n_ref, *rest):
         if use_prng:
@@ -114,6 +116,13 @@ def _make_kernel(
         # scratch and prior partials rescaled by exp((m_old − m_new)/λ)
         inv_lambda = np.float32(1.0 / cfg.lambda_)
         finite = jnp.isfinite(score)
+        if k_total % bk:
+            # exact-K semantics: mask rollouts past K in the final block
+            ridx = pid * bk + (
+                jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 1)
+            )
+            finite = jnp.logical_and(finite, ridx < k_total)
         score_f = jnp.where(finite, score, neg_big)
         block_max = jnp.max(score_f)
         # treat all-masked blocks as neg_big (matches filtered max semantics)
@@ -171,7 +180,7 @@ def mppi_pallas_partials(
     n = cfg.n_horizon
     use_prng = noise is None
 
-    kernel = _make_kernel(dynamics, cost, cfg, n_state, block_sublanes, use_prng)
+    kernel = _make_kernel(dynamics, cost, cfg, n_state, block_sublanes, use_prng, k)
     in_specs = []
     inputs = []
     if not use_prng:
@@ -219,6 +228,7 @@ def _make_batched_kernel(
     cfg: MppiConfig,
     n_state: int,
     block_sublanes: int,
+    k_total: int,
 ):
     """Scenario-batched variant: grid (B, num_k_blocks), k innermost so the
     per-scenario streaming accumulators in the output refs are written by
@@ -275,6 +285,12 @@ def _make_batched_kernel(
         score = -c - ct
 
         finite = jnp.isfinite(score)
+        if k_total % (bs * _LANES):
+            ridx = i * (bs * _LANES) + (
+                jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 1)
+            )
+            finite = jnp.logical_and(finite, ridx < k_total)
         block_max = jnp.max(jnp.where(finite, score, neg_big))
         m_old = ms_acc[0]
         m_new = jnp.maximum(m_old, block_max)
@@ -319,7 +335,7 @@ def mppi_pallas_batch_partials(
 
     if b % 8:
         raise ValueError(f"scenario batch {b} must be a multiple of 8")
-    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes)
+    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes, k)
     row_block = pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # seeds only (SMEM is too small for B-sized x0/u_n)

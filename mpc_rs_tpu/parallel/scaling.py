@@ -46,13 +46,16 @@ def measure_scaling(
             cfg, dynamics, cost, n_state, mesh,
             backend=backend, block_sublanes=block_sublanes, interpret=interpret,
         )
-        seed = jax.random.key(0) if backend == "jnp" else 0
-        u, st = solve(seed, x, u_n)
-        jax.block_until_ready(u)
+        def seed_for(i):
+            return jax.random.key(i) if backend == "jnp" else i
+        u, st = solve(seed_for(0), x, u_n)
+        float(u[0])  # honest sync (block_until_ready is async on axon)
         t0 = time.perf_counter()
         for i in range(iters):
-            u, st = solve(seed, x, u_n)
-        jax.block_until_ready(u)
+            # vary inputs: the remote runtime may serve repeated identical
+            # calls from a cache
+            u, st = solve(seed_for(i + 1), x, u_n)
+        float(u[0])
         sps = iters / (time.perf_counter() - t0)
         if base is None:
             base = sps

@@ -193,3 +193,38 @@ def test_batched_kernel_interpret_structure():
     np.testing.assert_allclose(
         np.array(u), np.clip(np.array(u_ns), -3.0, 3.0), rtol=1e-5, atol=1e-6
     )
+
+
+def test_kernel_exact_k_masking():
+    """Non-block-multiple K must use exactly K rollouts: with external noise
+    where the padded tail carries a poison value, results must match the
+    reference restricted to the first K samples."""
+    step = dynamics.make_double_integrator(0.05)
+    k_exact = BS * LANES + 300  # 1324: 300 rollouts into a second block
+    cfg = MppiConfig(n_horizon=N, n_rollouts=k_exact, lambda_=2.5, std_dev=1.0, limit=(-3.0, 3.0))
+    nb = 2
+    eps = _noise(jax.random.key(9), nb) / 3.0
+    # poison the padding region: if it leaked into the softmax the result
+    # would shift drastically (huge positive score samples)
+    eps_np = np.array(eps)
+    flat_idx = np.arange(nb * BS * LANES).reshape(nb, BS, LANES)
+    pad_mask = flat_idx >= k_exact
+    # poison: favorable identical samples that would dominate the softmax
+    # if the padding leaked past K (optimal control from x=(1,0) is ~-1.2)
+    for t in range(N):
+        eps_np[:, t][pad_mask] = -1.2
+    x = jnp.asarray([1.0, 0.0], jnp.float32)
+    u_n = jnp.zeros(N, jnp.float32)
+    u_pal, st = mppi_solve_pallas(
+        cfg, step, costs.quad2, 2, 0, x, u_n,
+        block_sublanes=BS, interpret=True, noise=jnp.asarray(eps_np),
+    )
+    assert int(st) == MppiStatus.OK
+    # reference on exactly the first K samples
+    eps_kn = eps_np.transpose(0, 2, 3, 1).reshape(-1, N)[:k_exact]
+    v = np.clip(eps_kn, -3.0, 3.0)
+    s = np.array(rollout_scores(step, costs.quad2, (jnp.float64(1.0), jnp.float64(0.0)),
+                                jnp.asarray(v, jnp.float64), jnp.zeros(N, jnp.float64), 1.0))
+    w = np.exp((s - s.max()) / 2.5)
+    want = (w / w.sum()) @ v
+    np.testing.assert_allclose(np.array(u_pal), want, rtol=5e-4, atol=5e-4)
