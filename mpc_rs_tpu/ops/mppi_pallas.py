@@ -39,6 +39,16 @@ _LANES = 128
 _TWO_PI = 2.0 * math.pi
 
 
+def _rollout_index(block_id, bs):
+    """Global rollout index grid (bs, 128) for block ``block_id`` — the
+    linearization contract shared by the kernels, the external-noise layout,
+    and the parity tests: idx = block·(bs·128) + sublane·128 + lane."""
+    return block_id * (bs * _LANES) + (
+        jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 1)
+    )
+
+
 def _bits_to_unit_open(bits):
     """uint32 → float32 in (0, 1]: mantissa trick. f ∈ [1,2) ⇒ 2−f ∈ (0,1]."""
     f = pltpu.bitcast((bits >> 9) | np.uint32(0x3F800000), jnp.float32)
@@ -118,11 +128,7 @@ def _make_kernel(
         finite = jnp.isfinite(score)
         if k_total % bk:
             # exact-K semantics: mask rollouts past K in the final block
-            ridx = pid * bk + (
-                jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 0) * _LANES
-                + jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 1)
-            )
-            finite = jnp.logical_and(finite, ridx < k_total)
+            finite = jnp.logical_and(finite, _rollout_index(pid, bs) < k_total)
         score_f = jnp.where(finite, score, neg_big)
         block_max = jnp.max(score_f)
         # treat all-masked blocks as neg_big (matches filtered max semantics)
@@ -229,6 +235,7 @@ def _make_batched_kernel(
     n_state: int,
     block_sublanes: int,
     k_total: int,
+    use_prng: bool,
 ):
     """Scenario-batched variant: grid (B, num_k_blocks), k innermost so the
     per-scenario streaming accumulators in the output refs are written by
@@ -240,7 +247,11 @@ def _make_batched_kernel(
     neg_big = np.float32(-3.4e38)
     inv_lambda = np.float32(1.0 / cfg.lambda_)
 
-    def kernel(seed_ref, x0_ref, u_n_ref, m_ref, s_ref, uw_ref, v_buf, ms_acc):
+    def kernel(seed_ref, x0_ref, u_n_ref, *rest):
+        if use_prng:
+            m_ref, s_ref, uw_ref, v_buf, ms_acc = rest
+        else:
+            eps_ref, m_ref, s_ref, uw_ref, v_buf, ms_acc = rest
         # x0_ref/u_n_ref are (8,128) VMEM row-blocks (SMEM can't hold
         # B-sized prefetch arrays); seeds stay scalar-prefetch.
         b = pl.program_id(0)
@@ -256,21 +267,24 @@ def _make_batched_kernel(
             ms_acc[1] = 0.0
             uw_ref[...] = jnp.zeros_like(uw_ref)
 
-        # hardware seed takes at most 2 values; fold (scenario, block) into one
-        pltpu.prng_seed(seed_ref[b], b * jnp.int32(100003) + i)
-
-        for t0 in range(0, n, 2):
-            bits = pltpu.prng_random_bits((2, bs, _LANES))
-            u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
-            u2 = pltpu.bitcast(
-                (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
-                jnp.float32,
-            ) - 1.0
-            r = cfg.std_dev * jnp.sqrt(-2.0 * jnp.log(u1))
-            ang = _TWO_PI * u2
-            v_buf[t0] = jnp.clip(u_n_ref[row, t0] + r * jnp.cos(ang), lo, hi)
-            if t0 + 1 < n:
-                v_buf[t0 + 1] = jnp.clip(u_n_ref[row, t0 + 1] + r * jnp.sin(ang), lo, hi)
+        if use_prng:
+            # hardware seed takes at most 2 values; fold (scenario, block)
+            pltpu.prng_seed(seed_ref[b], b * jnp.int32(100003) + i)
+            for t0 in range(0, n, 2):
+                bits = pltpu.prng_random_bits((2, bs, _LANES))
+                u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+                u2 = pltpu.bitcast(
+                    (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                    jnp.float32,
+                ) - 1.0
+                r = cfg.std_dev * jnp.sqrt(-2.0 * jnp.log(u1))
+                ang = _TWO_PI * u2
+                v_buf[t0] = jnp.clip(u_n_ref[row, t0] + r * jnp.cos(ang), lo, hi)
+                if t0 + 1 < n:
+                    v_buf[t0 + 1] = jnp.clip(u_n_ref[row, t0 + 1] + r * jnp.sin(ang), lo, hi)
+        else:
+            for t in range(n):
+                v_buf[t] = jnp.clip(u_n_ref[row, t] + eps_ref[0, 0, t], lo, hi)
 
         xs = tuple(
             jnp.full((bs, _LANES), x0_ref[row, j], dtype=jnp.float32) for j in range(n_state)
@@ -286,11 +300,7 @@ def _make_batched_kernel(
 
         finite = jnp.isfinite(score)
         if k_total % (bs * _LANES):
-            ridx = i * (bs * _LANES) + (
-                jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 0) * _LANES
-                + jax.lax.broadcasted_iota(jnp.int32, (bs, _LANES), 1)
-            )
-            finite = jnp.logical_and(finite, ridx < k_total)
+            finite = jnp.logical_and(finite, _rollout_index(i, bs) < k_total)
         block_max = jnp.max(jnp.where(finite, score, neg_big))
         m_old = ms_acc[0]
         m_new = jnp.maximum(m_old, block_max)
@@ -321,10 +331,15 @@ def mppi_pallas_batch_partials(
     n_rollouts: int | None = None,
     block_sublanes: int | None = None,
     interpret: bool = False,
+    noise: jax.Array | None = None,
 ) -> MppiPartials:
     """Fused kernel over a scenario batch: every scenario gets its own
     cfg.n_rollouts samples from its own state/nominal/seed. Returns
-    partials with leading batch dim (m: (B,), s: (B,), uw: (B, N))."""
+    partials with leading batch dim (m: (B,), s: (B,), uw: (B, N)).
+
+    ``noise``: optional eps of shape (B, num_blocks, N, block_sublanes,
+    128) bypassing the in-kernel PRNG — exact parity tests of the batched
+    path (the interpreter PRNG is a stub)."""
     b = xs.shape[0]
     k = n_rollouts or cfg.n_rollouts
     if block_sublanes is None:
@@ -332,15 +347,28 @@ def mppi_pallas_batch_partials(
     bk = block_sublanes * _LANES
     num_blocks = pl.cdiv(k, bk)
     n = cfg.n_horizon
+    use_prng = noise is None
 
     if b % 8:
         raise ValueError(f"scenario batch {b} must be a multiple of 8")
-    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes, k)
+    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes, k, use_prng)
     row_block = pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM)
+    in_specs = [row_block, row_block]  # x0 (B,128) lane-padded, u_n (B,128)
+    extra_inputs = []
+    if not use_prng:
+        assert noise.shape == (b, num_blocks, n, block_sublanes, _LANES), noise.shape
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, n, block_sublanes, _LANES),
+                lambda bb, i, *_: (bb, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        extra_inputs.append(jnp.asarray(noise, jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # seeds only (SMEM is too small for B-sized x0/u_n)
         grid=(b, num_blocks),
-        in_specs=[row_block, row_block],  # x0 (B,128) lane-padded, u_n (B,128)
+        in_specs=in_specs,
         out_specs=[
             # (8,128) row blocks: 8 consecutive scenarios share a block and
             # are fully written before the grid leaves it (k is innermost)
@@ -366,6 +394,7 @@ def mppi_pallas_batch_partials(
         jnp.asarray(seeds, jnp.int32).reshape(b),
         _pad_lanes(jnp.asarray(xs, jnp.float32)),
         _pad_lanes(jnp.asarray(u_ns, jnp.float32)),
+        *extra_inputs,
     )
     return MppiPartials(m=m[:, 0], s=s[:, 0], uw=jnp.sum(uw, axis=-1))
 

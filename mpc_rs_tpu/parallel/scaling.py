@@ -46,15 +46,15 @@ def measure_scaling(
             cfg, dynamics, cost, n_state, mesh,
             backend=backend, block_sublanes=block_sublanes, interpret=interpret,
         )
-        def seed_for(i):
-            return jax.random.key(i) if backend == "jnp" else i
-        u, st = solve(seed_for(0), x, u_n)
+        # inputs vary per iteration (the remote runtime may cache repeated
+        # identical calls) but are built BEFORE the timed window so key
+        # construction never biases the measurement
+        seeds = [jax.random.key(i) if backend == "jnp" else i for i in range(iters + 1)]
+        u, st = solve(seeds[0], x, u_n)
         float(u[0])  # honest sync (block_until_ready is async on axon)
         t0 = time.perf_counter()
         for i in range(iters):
-            # vary inputs: the remote runtime may serve repeated identical
-            # calls from a cache
-            u, st = solve(seed_for(i + 1), x, u_n)
+            u, st = solve(seeds[i + 1], x, u_n)
         float(u[0])
         sps = iters / (time.perf_counter() - t0)
         if base is None:

@@ -228,3 +228,36 @@ def test_kernel_exact_k_masking():
     w = np.exp((s - s.max()) / 2.5)
     want = (w / w.sum()) @ v
     np.testing.assert_allclose(np.array(u_pal), want, rtol=5e-4, atol=5e-4)
+
+
+def test_batched_kernel_exact_parity_same_noise():
+    """Batched kernel vs reference on identical per-scenario noise — also
+    exercises the batched exact-K mask with poisoned padding."""
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
+
+    step = dynamics.make_double_integrator(0.05)
+    b = 8
+    nb = 2
+    k_exact = BS * LANES + 200  # second block partially used
+    cfg = MppiConfig(n_horizon=N, n_rollouts=k_exact, lambda_=2.5, std_dev=1.0, limit=(-3.0, 3.0))
+    eps = np.array(jax.random.normal(jax.random.key(11), (b, nb, N, BS, LANES), dtype=jnp.float32))
+    flat_idx = np.arange(nb * BS * LANES).reshape(nb, BS, LANES)
+    pad = flat_idx >= k_exact
+    for t in range(N):
+        eps[:, :, t][np.broadcast_to(pad, (b, nb, BS, LANES))] = -1.2  # poison
+    xs = np.stack([np.linspace(-1, 1, b), np.zeros(b)], axis=-1).astype(np.float32)
+    u_ns = np.zeros((b, N), np.float32)
+    u, st = mppi_solve_pallas_batch(
+        cfg, step, costs.quad2, 2, jnp.zeros(b, jnp.int32), jnp.asarray(xs),
+        jnp.asarray(u_ns), interpret=True, block_sublanes=BS, noise=jnp.asarray(eps),
+    )
+    assert (np.array(st) == 0).all()
+    for s_i in range(b):
+        eps_kn = eps[s_i].transpose(0, 2, 3, 1).reshape(-1, N)[:k_exact]
+        v = np.clip(eps_kn, -3.0, 3.0)
+        sc = np.array(rollout_scores(
+            step, costs.quad2, tuple(jnp.float64(c) for c in xs[s_i]),
+            jnp.asarray(v, jnp.float64), jnp.zeros(N, jnp.float64), 1.0))
+        w = np.exp((sc - sc.max()) / 2.5)
+        want = (w / w.sum()) @ v
+        np.testing.assert_allclose(np.array(u[s_i]), want, rtol=1e-3, atol=5e-4)
