@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--scenarios", type=int, default=1024, help="fleet batch size")
     ap.add_argument("--report-every", type=float, default=1.0, help="fleet report period [s]")
     ap.add_argument("--resume", default=None, help="fleet checkpoint to resume from")
+    ap.add_argument("--model", choices=["cartpole4", "flagship6"], default="cartpole4",
+                    help="fleet plant/estimator stack")
     return ap
 
 

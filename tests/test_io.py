@@ -116,3 +116,17 @@ def test_serial_pty_loopback():
             assert port.read_packet(State) is None
     finally:
         pair.close()
+
+
+def test_sensor_and_sensor2_roundtrip():
+    s = Sensor(encoder0=-123, encoder1=456, gyro=7.5)
+    s2 = Sensor.from_cobs(s.as_cobs())
+    np.testing.assert_allclose(s2.to_vector(), [-123.0, 456.0, 7.5])
+    t = Sensor2(encoder0=1, encoder1=-2, gyro=0.5, accel0=-0.25, accel1=1.75)
+    t2 = Sensor2.from_cobs(t.as_cobs())
+    np.testing.assert_allclose(t2.to_vector(), [1.0, -2.0, 0.5, -0.25, 1.75])
+
+
+def test_from_cobs_rejects_wrong_size():
+    frame = Control(u=5).as_cobs()
+    assert State.from_cobs(frame) is None  # 2-byte payload can't be a State
