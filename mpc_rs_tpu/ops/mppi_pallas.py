@@ -138,9 +138,10 @@ def _make_kernel(
         e = jnp.where(finite, jnp.exp((score - m_new) * inv_lambda), 0.0)
         s_ref[0, 0] = s_ref[0, 0] * scale + jnp.sum(e)
         m_ref[0, 0] = m_new
-        for t in range(n):
-            # per-lane partials: sum over sublanes only; host sums lanes
-            uw_ref[t, :] = uw_ref[t, :] * scale + jnp.sum(e * v_buf[t], axis=0)
+        # per-lane partials: sum over sublanes only (host sums lanes); one
+        # vectorized (n, 128) read-modify-write instead of n row updates
+        partial = jnp.stack([jnp.sum(e * v_buf[t], axis=0) for t in range(n)], axis=0)
+        uw_ref[...] = uw_ref[...] * scale + partial
 
     return kernel
 

@@ -69,8 +69,35 @@ def golden_ukf_cartpole():
     np.savez(os.path.join(OUT, "ukf_cartpole.npz"), x=np.array(xs), p_diag=np.array(ps))
 
 
+def golden_qp_mpc():
+    from mpc_rs_tpu.controllers.panoc import PanocConfig, box_projection, panoc_solve
+    from mpc_rs_tpu.controllers.qp import build_condensed_qp, make_qp_value_and_grad
+    from mpc_rs_tpu.models import reference
+
+    p = CartPoleParams.single_wheel()
+    dt = 0.8 / 8
+    n = 8
+    a, b = dynamics.linear_ab(p, dt)
+    qp = build_condensed_qp(a, b, np.diag([5.0, 5.0, 1.0, 1.0]), n)
+    vgf = make_qp_value_and_grad(qp, reference.make_gen_ref_raised_cosine(n))
+    cfg = PanocConfig(tol=1e-8, max_iter=200, lbfgs_mem=20)
+    proj = box_projection(-30.0, 30.0)
+    aj, bj = jnp.asarray(a), jnp.asarray(b).reshape(-1)
+    x = jnp.asarray([0.5, 0.0, 0.1, 0.0])
+    u = jnp.zeros(n)
+    xs, us = [], []
+    for i in range(30):
+        res = panoc_solve(cfg, None, proj, u, value_and_grad=vgf(x))
+        u = res.u
+        x = aj @ x + bj * u[0]
+        xs.append(np.array(x))
+        us.append(float(u[0]))
+    np.savez(os.path.join(OUT, "qp_mpc.npz"), x=np.array(xs), u=np.array(us))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     golden_mppi4_non_liner()
     golden_ukf_cartpole()
+    golden_qp_mpc()
     print("golden fixtures written to", OUT)
