@@ -169,3 +169,22 @@ def ukf_update(params: UkfParams, state: UkfState, z, hx: Callable) -> UkfState:
 def ukf_step(params, state, u, z, fx, hx):
     """predict + update in one jit-friendly call."""
     return ukf_update(params, ukf_predict(params, state, u, fx), z, hx)
+
+
+def ukf_guard(state: UkfState, p_reset) -> UkfState:
+    """Failure recovery: re-arm a filter whose state went non-finite.
+
+    The reference panics on numeric failure (src/ukf.rs:69
+    ``.expect("Inverse fail")``); long-running batched fleets instead degrade
+    gracefully (SURVEY §5): non-finite mean entries are zeroed and the
+    covariance is reset to ``p_reset``, so the filter re-converges from its
+    own measurements instead of propagating NaN forever. Batched: the reset
+    applies per instance."""
+    p_reset = jnp.asarray(p_reset, dtype=state.p.dtype)
+    bad = ~(
+        jnp.all(jnp.isfinite(state.x), axis=-1)
+        & jnp.all(jnp.isfinite(state.p), axis=(-2, -1))
+    )
+    x = jnp.where(jnp.isfinite(state.x), state.x, 0.0)
+    p = jnp.where(bad[..., None, None], p_reset, state.p)
+    return state._replace(x=x, p=p)

@@ -54,6 +54,34 @@ def gen_q6(dt, phy=(100.0, 70.0, 20.0), dtype=None):
     return phy[0] * q1 + phy[1] * q2 + phy[2] * q3
 
 
+def gen_q4(dt, accel_var=(25.0, 400.0), dtype=None):
+    """Piecewise-white-noise 4×4 process noise for the (x, ẋ, θ, θ̇) state.
+
+    Same discretization family as the flagship's ``gen_q`` (piecewise white
+    noise on accelerations — mppi4-non-liner-ukf.rs:192-221) applied to the
+    4-state chain: white linear acceleration with variance ``accel_var[0]``
+    drives (x, ẋ), white angular acceleration ``accel_var[1]`` drives
+    (θ, θ̇). Proper dt-scaling makes one tuning valid across sensor rates —
+    unlike the reference's rate-specific hand-tuned constant Q
+    (mppi4-non-liner-s.rs:216-221)."""
+    dt = jnp.asarray(dt, dtype=dtype)
+    z = jnp.zeros_like(dt)
+    d4, d3, d2 = dt**4 / 4.0, dt**3 / 2.0, dt * dt
+    sa, sw = accel_var
+
+    def blk(s):
+        return [s * d4, s * d3, s * d3, s * d2]
+
+    a = blk(sa)
+    w = blk(sw)
+    return jnp.stack([
+        jnp.stack([a[0], a[1], z, z], axis=-1),
+        jnp.stack([a[2], a[3], z, z], axis=-1),
+        jnp.stack([z, z, w[0], w[1]], axis=-1),
+        jnp.stack([z, z, w[2], w[3]], axis=-1),
+    ], axis=-2)
+
+
 def gen_r_mask(r_diag, enable_mask, dropped=1e6):
     """Sensor-dropout R — mppi4-ukf-commu.rs:228-236, mpc-ukf-commu.rs.
 

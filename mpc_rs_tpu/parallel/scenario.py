@@ -26,7 +26,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mpc_rs_tpu.controllers.mppi import MppiConfig
-from mpc_rs_tpu.estimators.ukf import UkfParams, UkfState, ukf_predict, ukf_update
+from mpc_rs_tpu.estimators.ukf import UkfParams, UkfState, ukf_guard, ukf_predict, ukf_update
 from mpc_rs_tpu.ops.mppi_pallas import (
     MppiPartials,
     finalize_partials,
@@ -41,6 +41,7 @@ class ScenarioCarry(NamedTuple):
     ukf: UkfState  # batched (leading B) estimator state
     key: jax.Array  # (B,) per-scenario PRNG keys
     status: jax.Array  # (B,) last MPPI status
+    t: jax.Array  # (B,) sim time — drives disturbance windows
 
 
 def make_scenario_step(
@@ -59,9 +60,30 @@ def make_scenario_step(
     state_slice=None,  # e.g. 6-state estimate -> 4-state controller input
     backend: str = "jnp",
     n_state: int | None = None,
+    feed_true_state: bool = False,
+    n_substeps: int = 1,
+    dt_tick: float = 0.0,
+    disturbance: Callable | None = None,
+    control_start: float = 0.0,
+    ukf_p_reset=None,  # enables per-instance NaN recovery (ukf_guard)
 ):
     """Returns jitted ``step(carry) -> carry`` advancing every scenario one
     control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
+
+    ``feed_true_state`` reproduces the reference's DEBUG_UKF switch
+    (examples/mppi4-non-liner-ukf.rs:31,55-61): the controller sees the true
+    plant state while the estimator still runs alongside.
+
+    ``n_substeps`` models the reference's sensor/UKF threads ticking faster
+    than the control loop (sensor every 3–9 ms vs control every 0.1 s —
+    examples/mppi4-non-liner-s.rs:231-240): per control tick the plant and
+    the sensor→UKF update run ``n_substeps`` times while ``u0`` is held.
+    ``plant_fx``/``ukf_fx`` must then be built at the substep dt.
+
+    ``disturbance``: traceable ``f(t_sim) -> force`` (e.g. the flagship's
+    2 N push during t∈(1,1.5) s — mppi4-non-liner-ukf.rs:237-244). When
+    given, ``plant_fx`` is called as ``plant_fx(x, u, f)`` and ``dt_tick``
+    must be the control-tick period (sim time advances by it each tick).
     """
     n_dev_r = mesh.shape[rollout_axis]
     if cfg.n_rollouts % n_dev_r:
@@ -88,7 +110,8 @@ def make_scenario_step(
         key_next, k_mppi, k_sens = keys[:, 0], keys[:, 1], keys[:, 2]
         # decorrelate rollout shards; scenarios decorrelate via their keys
         k_mppi = jax.vmap(lambda k: jax.random.fold_in(k, my_r))(k_mppi)
-        x_hats = carry.ukf.x if state_slice is None else carry.ukf.x[:, jnp.asarray(state_slice)]
+        x_ctrl = carry.x if feed_true_state else carry.ukf.x
+        x_hats = x_ctrl if state_slice is None else x_ctrl[:, jnp.asarray(state_slice)]
 
         if backend == "pallas":
             ns = n_state if n_state is not None else x_hats.shape[-1]
@@ -107,20 +130,49 @@ def make_scenario_step(
         parts = merge(parts)
         u_new, status = jax.vmap(lambda p, u: finalize_partials(cfg, p, u))(parts, carry.u_n)
 
-        def rest(x, u_seq, ukf, ks):
+        dt_sub = dt_tick / n_substeps
+
+        def rest(x, u_seq, ukf, ks, t):
             u0 = u_seq[0]
-            x_next = plant_fx(x, u0)
-            z = ukf_hx(x_next) + sig * jax.random.normal(ks, sig.shape, dtype=sig.dtype)
-            ukf = ukf_predict(ukf_params, ukf, u0, ukf_fx)
-            ukf = ukf_update(ukf_params, ukf, z, ukf_hx)
+            if control_start > 0.0:
+                # estimator-settling window: plant coasts (u=0) while the
+                # sensor->UKF chain runs, as the reference's UKF thread does
+                # during control-thread startup (mppi4-non-liner-ukf.rs:224-288)
+                u0 = jnp.where(t >= jnp.float32(control_start), u0, 0.0)
+
+            def substep(c, inp):
+                x, ukf = c
+                kss, i = inp
+                if disturbance is None:
+                    x_next = plant_fx(x, u0)
+                else:
+                    x_next = plant_fx(x, u0, disturbance(t + i * dt_sub))
+                z = ukf_hx(x_next) + sig * jax.random.normal(kss, sig.shape, dtype=sig.dtype)
+                ukf = ukf_predict(ukf_params, ukf, u0, ukf_fx)
+                ukf = ukf_update(ukf_params, ukf, z, ukf_hx)
+                if ukf_p_reset is not None:
+                    ukf = ukf_guard(ukf, ukf_p_reset)
+                return (x_next, ukf), None
+
+            if n_substeps == 1:
+                (x_next, ukf), _ = substep((x, ukf), (ks, jnp.float32(0.0)))
+            else:
+                (x_next, ukf), _ = jax.lax.scan(
+                    substep,
+                    (x, ukf),
+                    (jax.random.split(ks, n_substeps), jnp.arange(n_substeps, dtype=jnp.float32)),
+                )
             return x_next, ukf
 
-        x_next, ukf = jax.vmap(rest)(carry.x, u_new, carry.ukf, k_sens)
-        return ScenarioCarry(x=x_next, u_n=u_new, ukf=ukf, key=key_next, status=status)
+        x_next, ukf = jax.vmap(rest)(carry.x, u_new, carry.ukf, k_sens, carry.t)
+        return ScenarioCarry(
+            x=x_next, u_n=u_new, ukf=ukf, key=key_next, status=status,
+            t=carry.t + jnp.float32(dt_tick),
+        )
 
     spec_b = P(scenario_axis)  # batch-leading arrays: sharded over scenario,
     # replicated over rollouts (each rollout-shard sees the whole sub-batch)
-    specs = ScenarioCarry(x=spec_b, u_n=spec_b, ukf=jax.tree.map(lambda _: spec_b, UkfState(*(0,) * 5)), key=spec_b, status=spec_b)
+    specs = ScenarioCarry(x=spec_b, u_n=spec_b, ukf=jax.tree.map(lambda _: spec_b, UkfState(*(0,) * 5)), key=spec_b, status=spec_b, t=spec_b)
 
     step = shard_map(
         shard_fn,
@@ -141,4 +193,5 @@ def init_scenario_carry(batch, x0, u0, ukf_state: UkfState, key):
         ukf=jax.tree.map(tile, ukf_state),
         key=jax.random.split(key, batch),
         status=jnp.zeros((batch,), jnp.int32),
+        t=jnp.zeros((batch,), jnp.float32),
     )
