@@ -53,14 +53,21 @@ def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str
     )
 
 
+# Resolved lazily: jax.devices() at import time would initialize every
+# backend — on this image that grabs the EXCLUSIVE tunneled TPU chip before
+# callers (tests, the acceptance harness) can select the CPU platform.
+_CPU_SENTINEL = object()
+_CPU = _CPU_SENTINEL
+
+
 def _cpu_device():
-    try:
-        return jax.devices("cpu")[0]
-    except RuntimeError:
-        return None
-
-
-_CPU = _cpu_device()
+    global _CPU
+    if _CPU is _CPU_SENTINEL:
+        try:
+            _CPU = jax.devices("cpu")[0]
+        except RuntimeError:
+            _CPU = None
+    return _CPU
 
 
 def host_device():
@@ -68,7 +75,8 @@ def host_device():
     when no CPU device is registered)."""
     import contextlib
 
-    return jax.default_device(_CPU) if _CPU is not None else contextlib.nullcontext()
+    cpu = _cpu_device()
+    return jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
 
 
 def np_step(step, x, u, *extra):
@@ -77,8 +85,9 @@ def np_step(step, x, u, *extra):
     Runs eagerly on the HOST CPU device: on a remote/tunneled TPU, eager
     scalar ops would otherwise each pay a network round trip (~0.4 s here),
     turning a 1 ms plant step into tens of seconds."""
-    if _CPU is not None:
-        with jax.default_device(_CPU):
+    cpu = _cpu_device()
+    if cpu is not None:
+        with jax.default_device(cpu):
             out = step(*(float(c) for c in x), float(u), *extra)
             return np.array([float(v) for v in out], dtype=np.float64)
     return np.array(

@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="MPPI backend (default: pallas on TPU, vmap elsewhere)")
     ap.add_argument("--max-iter", type=int, default=None, help="PANOC iteration budget")
     ap.add_argument("--fd", action="store_true", help="finite-difference gradients (parity mode)")
+    ap.add_argument("--ref-qr", action="store_true",
+                    help="use the reference's hand-tuned (rate-fragile) UKF Q/R in mppi4-non-liner-s")
     ap.add_argument("--use-ukf-estimate", action="store_true",
                     help="feed the UKF estimate to the controller (reference DEBUG_UKF=true "
                          "bypasses the estimator; this flag enables the estimator path)")
