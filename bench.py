@@ -61,25 +61,50 @@ def main():
     from mpc_rs_tpu.controllers.mppi import MppiConfig, mppi_solve
     from mpc_rs_tpu.models import costs, dynamics
     from mpc_rs_tpu.models.params import CartPoleParams
-    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_pallas_chain
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     p = CartPoleParams.single_wheel()
     dt = 0.8 / 8
     step = dynamics.make_cartpole_nonlinear(p, dt)
+    step_fast = dynamics.make_cartpole_nonlinear(p, dt, fast=True)
     x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32)
     u0 = jnp.zeros(8, jnp.float32)
 
+    def make_chain(cfg, n_solves, fast):
+        """Whole receding-horizon chain in ONE kernel call (scalar-seed
+        mode): per-solve dispatch/finalize glue is zero by construction."""
+        dyn = step_fast if fast else step
+
+        @jax.jit
+        def run(x, u_n, seed):
+            u0s, sts, _ = mppi_pallas_chain(
+                cfg, dyn, costs.shaped4, 4, None, x, u_n,
+                fast=fast, n_solves=n_solves, base_seed=seed,
+            )
+            return jnp.sum(u0s) + jnp.sum(sts)
+
+        return run
+
+    def time_chain(cfg, j_short, j_long, fast, reps=3):
+        short, long_ = make_chain(cfg, j_short, fast), make_chain(cfg, j_long, fast)
+        float(short(x0, u0, jnp.int32(0)))
+        float(long_(x0, u0, jnp.int32(0)))
+        ts, tl = [], []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            float(short(x0, u0, jnp.int32(7 * r + 1)))
+            ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(long_(x0, u0, jnp.int32(13 * r + 2)))
+            tl.append(time.perf_counter() - t0)
+        return (min(tl) - min(ts)) / (j_long - j_short)
+
     def make_scan(cfg):
-        if on_tpu:
-            def body(carry, seed):
-                u_n, st = mppi_solve_pallas(cfg, step, costs.shaped4, 4, seed, carry[0], carry[1])
-                return (carry[0], u_n), st
-        else:
-            def body(carry, seed):
-                r = mppi_solve(cfg, step, costs.shaped4, jax.random.key(seed), tuple(carry[0]), carry[1])
-                return (carry[0], r.u_n), r.status
+        def body(carry, seed):
+            r = mppi_solve(cfg, step, costs.shaped4, jax.random.key(seed), tuple(carry[0]), carry[1])
+            return (carry[0], r.u_n), r.status
 
         @jax.jit
         def run(x, u_n, seeds):
@@ -92,13 +117,20 @@ def main():
     for k in (10240, 819200):
         cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=0.5, std_dev=3.0, limit=(-20.0, 20.0))
         if on_tpu:
-            # length delta must make marginal compute >> dispatch jitter
-            n_short, n_long = (1000, 8000) if k <= 20000 else (200, 1600)
+            # chains long enough that the marginal compute dominates the
+            # ~0.4 s tunneled-dispatch jitter
+            j_short, j_long = (8000, 64000) if k <= 20000 else (200, 1600)
+            sec = time_chain(cfg, j_short, j_long, fast=True)
+            sec_exact = time_chain(cfg, j_short, j_long, fast=False)
+            results[k] = dict(us_per_solve=sec * 1e6, solves_per_s=1.0 / sec,
+                              steps_per_s=k * 8 / sec,
+                              us_per_solve_exact=sec_exact * 1e6)
         else:
             n_short, n_long = (4, 16) if k > 20000 else (16, 64)
-        sec = _marginal_scan_time(make_scan(cfg), x0, u0, n_short, n_long)
-        results[k] = dict(us_per_solve=sec * 1e6, solves_per_s=1.0 / sec,
-                          steps_per_s=k * 8 / sec)
+            sec = _marginal_scan_time(make_scan(cfg), x0, u0, n_short, n_long)
+            results[k] = dict(us_per_solve=sec * 1e6, solves_per_s=1.0 / sec,
+                              steps_per_s=k * 8 / sec,
+                              us_per_solve_exact=sec * 1e6)
 
     # --- scenario-fleet north star: B batched MPPI+UKF closed loops/chip
     fleet = {}
@@ -118,9 +150,11 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_10k / baseline_10k, 2),
         "hardware": str(jax.devices()[0]),
-        "kernel": "pallas-fused" if on_tpu else "vmap-reference(cpu-fallback)",
+        "kernel": "pallas-fused-chain(fastmath)" if on_tpu else "vmap-reference(cpu-fallback)",
         "k10240_us_per_solve": round(results[10240]["us_per_solve"], 2),
+        "k10240_us_per_solve_exact": round(results[10240]["us_per_solve_exact"], 2),
         "k819200_us_per_solve": round(results[819200]["us_per_solve"], 2),
+        "k819200_us_per_solve_exact": round(results[819200]["us_per_solve_exact"], 2),
         "k819200_rollout_steps_per_s": round(results[819200]["steps_per_s"], 0),
         "k819200_vs_baseline_steps": round(results[819200]["steps_per_s"] / BASELINE_STEPS_PER_S, 2),
     }

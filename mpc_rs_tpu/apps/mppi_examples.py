@@ -189,10 +189,17 @@ def mppi4_non_liner_ukf(args):
 
     hx = observation.make_hx_imu6(p)
     r_diag = np.array([200.0, 200.0, 10.0, 0.05, 0.05])
+    # With --use-ukf-estimate (a mode the reference never validates — its
+    # DEBUG_UKF default feeds true state, :31) the estimator becomes
+    # load-bearing: use the fleet-validated settings (P0=0.1, Q at 2.15·dt
+    # ≈ 10×, scripts/diag_flagship.py round-2 sweep: survival 1.000 vs
+    # 0.953). DEBUG_UKF mode keeps the reference constants verbatim.
+    est_in_loop = args.use_ukf_estimate
+    q_scale = 2.15 if est_in_loop else 1.0
     params, ukf0 = ukf_init(
         jnp.zeros(6, jnp.float32),
-        10.0 * jnp.eye(6, dtype=jnp.float32),
-        noise.gen_q6(jnp.float32(dt)),
+        (0.1 if est_in_loop else 10.0) * jnp.eye(6, dtype=jnp.float32),
+        noise.gen_q6(jnp.float32(q_scale * dt)),
         jnp.diag(jnp.asarray(r_diag, jnp.float32)),
     )
 
@@ -202,7 +209,7 @@ def mppi4_non_liner_ukf(args):
             out = plant6(*(xv[..., i] for i in range(6)), uu, dt_est, 0.0)
             return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
 
-        state = state._replace(q=noise.gen_q6(dt_est).astype(state.q.dtype))
+        state = state._replace(q=noise.gen_q6(q_scale * dt_est).astype(state.q.dtype))
         state = ukf_predict(params, state, u, fxd)
         return ukf_update(params, state, z, hx)
 

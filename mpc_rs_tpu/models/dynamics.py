@@ -54,19 +54,28 @@ def make_cartpole_linear(p: CartPoleParams, dt: float):
     return step
 
 
-def make_cartpole_nonlinear(p: CartPoleParams, dt: float | None = None):
+def make_cartpole_nonlinear(p: CartPoleParams, dt: float | None = None, *, fast: bool = False):
     """Nonlinear 4-state cart-pole — examples/mppi4-non-liner.rs:81-94.
 
     Fully explicit: every component reads the *old* state. State-dependent
     denominator d = D0 − M2²L²cos²θ. State: [x, dx, theta, dtheta].
     If ``dt`` is None the returned step takes dt as a trailing argument
     ("dynamics_short" form, examples/mppi4-non-liner-s.rs:195-209).
+
+    ``fast=True`` swaps sin/cos for the polynomial ``ops.fastmath`` versions
+    (≤4e-6 abs err): the MPPI rollout kernel is transcendental-bound, and
+    the swap is worth ~35% throughput there (DESIGN.md §8). Exact mode
+    stays the default so oracle/golden tests are unchanged.
     """
+    if fast:
+        from mpc_rs_tpu.ops.fastmath import fsincos as _sincos
+    else:
+        _sincos = lambda th: (jnp.sin(th), jnp.cos(th))
     d0 = p.d0
     ml = p.m2 * p.l
 
     def step_dt(x0, x1, x2, x3, u, dt):
-        c, s = jnp.cos(x2), jnp.sin(x2)
+        s, c = _sincos(x2)
         d = d0 - ml * ml * c * c
         thrust = p.kt * u / p.r_w + ml * x3 * x3 * s
         term1 = p.mass_line * p.m2 * p.g * p.l * s
@@ -88,43 +97,49 @@ def make_cartpole_nonlinear(p: CartPoleParams, dt: float | None = None):
 # Flagship two-wheel formulation (examples/mppi4-non-liner-ukf.rs)
 # ---------------------------------------------------------------------------
 
-def make_ddot(p: CartPoleParams):
+def make_ddot(p: CartPoleParams, *, fast: bool = False):
     """Second-order core (ddot_x, ddot_theta) — mppi4-non-liner-ukf.rs:126-139.
 
     Takes the 4-state [x, dx, theta, dtheta] plus control u and disturbance
     force f; two driven wheels (factor 2 on M1/J1/KT terms).
+    ``fast``: polynomial sin/cos (see make_cartpole_nonlinear).
     """
+    if fast:
+        from mpc_rs_tpu.ops.fastmath import fcos as _fc, fsincos as _sc
+    else:
+        _sc = lambda th: (jnp.sin(th), jnp.cos(th))
+        _fc = jnp.cos
     d1 = p.d1_two
     ml = p.m2 * p.l
     mll_j2 = p.m2 * p.l * p.l + p.j2
 
     def ddot_fn(dx, theta, dtheta, u, f):
-        c, s = jnp.cos(theta), jnp.sin(theta)
+        s, c = _sc(theta)
         d = d1 - (ml * c) ** 2
         # ddot_x — mppi4-non-liner-ukf.rs:128-133
         term1 = mll_j2 * ml / d * dtheta * dtheta * s
         term2 = -(ml**2) * p.g / d * s * c
         term3 = 2.0 * mll_j2 / (d * p.r_w) * p.kt * u
-        term4 = mll_j2 / d * f * jnp.cos(dtheta)
+        term4 = mll_j2 / d * f * _fc(dtheta)
         ddot_x = term1 + term2 + term3 + term4
         # ddot_theta — mppi4-non-liner-ukf.rs:134-138
         t1 = -(ml**2) / d * dtheta * dtheta * s * c
         t2 = (p.m2 * p.g * s - 2.0 * f) * p.l * p.mass_line_two / d
         t3 = -2.0 * ml / (d * p.r_w) * p.kt * u * c
-        t4 = -ml * f * jnp.cos(dtheta) ** 2 / d
+        t4 = -ml * f * _fc(dtheta) ** 2 / d
         ddot_theta = t1 + t2 + t3 + t4
         return ddot_x, ddot_theta
 
     return ddot_fn
 
 
-def make_flagship4(p: CartPoleParams, dt: float):
+def make_flagship4(p: CartPoleParams, dt: float, *, fast: bool = False):
     """4-state controller model of the flagship — mppi4-non-liner-ukf.rs:141-148.
 
     State [x, dx, theta, dtheta]; semi-implicit: theta from new dtheta,
     x from new dx.
     """
-    ddot = make_ddot(p)
+    ddot = make_ddot(p, fast=fast)
 
     def step(x0, x1, x2, x3, u):
         ddx, ddth = ddot(x1, x2, x3, u, 0.0)

@@ -49,10 +49,30 @@ def _rollout_index(block_id, bs):
     )
 
 
+def _default_block_sublanes(k: int) -> int:
+    """Measured-optimal block size (round-2 sweep, TPU v5e): one block when
+    K fits 256 sublanes (K ≤ 32768 — kills per-grid-step overhead entirely:
+    3.1 → 1 block at K=10240), else 64 sublanes (31.4 G steps/s at
+    K=819200 vs 20.1 at 512)."""
+    bs_full = -(-k // _LANES)
+    if bs_full <= 256:
+        return max(8, -(-bs_full // 8) * 8)
+    return 64
+
+
 def _bits_to_unit_open(bits):
     """uint32 → float32 in (0, 1]: mantissa trick. f ∈ [1,2) ⇒ 2−f ∈ (0,1]."""
     f = pltpu.bitcast((bits >> 9) | np.uint32(0x3F800000), jnp.float32)
     return 2.0 - f
+
+
+def _sampling_math(fast: bool):
+    """(log, sqrt, sin, cos) used by in-kernel Box-Muller."""
+    if fast:
+        from mpc_rs_tpu.ops.fastmath import fcos, flog, fsin, fsqrt
+
+        return flog, fsqrt, fsin, fcos
+    return jnp.log, jnp.sqrt, jnp.sin, jnp.cos
 
 
 def _make_kernel(
@@ -63,6 +83,7 @@ def _make_kernel(
     block_sublanes: int,
     use_prng: bool,
     k_total: int,
+    fast: bool = False,
 ):
     n = cfg.n_horizon
     bs = block_sublanes
@@ -70,6 +91,7 @@ def _make_kernel(
     lo, hi = cfg.limit
     neg_big = np.float32(-3.4e38)
     bk = bs * _LANES
+    _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
     def kernel(seed_ref, x0_ref, u_n_ref, *rest):
         if use_prng:
@@ -99,11 +121,11 @@ def _make_kernel(
                     (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
                     jnp.float32,
                 ) - 1.0  # [0,1) is fine for the angle
-                r = cfg.std_dev * jnp.sqrt(-2.0 * jnp.log(u1))
+                r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
                 ang = _TWO_PI * u2
-                v_buf[t0] = jnp.clip(u_n_ref[t0, 0] + r * jnp.cos(ang), lo, hi)
+                v_buf[t0] = jnp.clip(u_n_ref[t0, 0] + r * _cos(ang), lo, hi)
                 if t0 + 1 < n:
-                    v_buf[t0 + 1] = jnp.clip(u_n_ref[t0 + 1, 0] + r * jnp.sin(ang), lo, hi)
+                    v_buf[t0 + 1] = jnp.clip(u_n_ref[t0 + 1, 0] + r * _sin(ang), lo, hi)
         else:
             for t in range(n):
                 v_buf[t] = jnp.clip(u_n_ref[t, 0] + eps_ref[0, t], lo, hi)
@@ -165,6 +187,7 @@ def mppi_pallas_partials(
     block_sublanes: int | None = None,
     interpret: bool = False,
     noise: jax.Array | None = None,
+    fast: bool = False,
 ) -> MppiPartials:
     """Run the fused kernel over ``n_rollouts`` (default cfg.n_rollouts).
 
@@ -179,15 +202,13 @@ def mppi_pallas_partials(
     """
     k = n_rollouts or cfg.n_rollouts
     if block_sublanes is None:
-        # fewer, larger blocks amortize per-grid-step overhead (~2 µs);
-        # cap keeps v_buf = N·BS·128·4B comfortably inside VMEM
-        block_sublanes = max(8, min(256, k // (_LANES * 2)))
+        block_sublanes = _default_block_sublanes(k)
     bk = block_sublanes * _LANES
     num_blocks = pl.cdiv(k, bk)
     n = cfg.n_horizon
     use_prng = noise is None
 
-    kernel = _make_kernel(dynamics, cost, cfg, n_state, block_sublanes, use_prng, k)
+    kernel = _make_kernel(dynamics, cost, cfg, n_state, block_sublanes, use_prng, k, fast=fast)
     in_specs = []
     inputs = []
     if not use_prng:
@@ -237,6 +258,7 @@ def _make_batched_kernel(
     block_sublanes: int,
     k_total: int,
     use_prng: bool,
+    fast: bool = False,
 ):
     """Scenario-batched variant: grid (B, num_k_blocks), k innermost so the
     per-scenario streaming accumulators in the output refs are written by
@@ -247,6 +269,7 @@ def _make_batched_kernel(
     lo, hi = cfg.limit
     neg_big = np.float32(-3.4e38)
     inv_lambda = np.float32(1.0 / cfg.lambda_)
+    _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
     def kernel(seed_ref, x0_ref, u_n_ref, *rest):
         if use_prng:
@@ -278,11 +301,11 @@ def _make_batched_kernel(
                     (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
                     jnp.float32,
                 ) - 1.0
-                r = cfg.std_dev * jnp.sqrt(-2.0 * jnp.log(u1))
+                r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
                 ang = _TWO_PI * u2
-                v_buf[t0] = jnp.clip(u_n_ref[row, t0] + r * jnp.cos(ang), lo, hi)
+                v_buf[t0] = jnp.clip(u_n_ref[row, t0] + r * _cos(ang), lo, hi)
                 if t0 + 1 < n:
-                    v_buf[t0 + 1] = jnp.clip(u_n_ref[row, t0 + 1] + r * jnp.sin(ang), lo, hi)
+                    v_buf[t0 + 1] = jnp.clip(u_n_ref[row, t0 + 1] + r * _sin(ang), lo, hi)
         else:
             for t in range(n):
                 v_buf[t] = jnp.clip(u_n_ref[row, t] + eps_ref[0, 0, t], lo, hi)
@@ -333,6 +356,7 @@ def mppi_pallas_batch_partials(
     block_sublanes: int | None = None,
     interpret: bool = False,
     noise: jax.Array | None = None,
+    fast: bool = False,
 ) -> MppiPartials:
     """Fused kernel over a scenario batch: every scenario gets its own
     cfg.n_rollouts samples from its own state/nominal/seed. Returns
@@ -344,7 +368,7 @@ def mppi_pallas_batch_partials(
     b = xs.shape[0]
     k = n_rollouts or cfg.n_rollouts
     if block_sublanes is None:
-        block_sublanes = max(8, min(256, k // (_LANES * 2)))
+        block_sublanes = _default_block_sublanes(k)
     bk = block_sublanes * _LANES
     num_blocks = pl.cdiv(k, bk)
     n = cfg.n_horizon
@@ -352,7 +376,7 @@ def mppi_pallas_batch_partials(
 
     if b % 8:
         raise ValueError(f"scenario batch {b} must be a multiple of 8")
-    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes, k, use_prng)
+    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes, k, use_prng, fast=fast)
     row_block = pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM)
     in_specs = [row_block, row_block]  # x0 (B,128) lane-padded, u_n (B,128)
     extra_inputs = []
@@ -435,6 +459,7 @@ def mppi_solve_pallas(
     block_sublanes: int | None = None,
     interpret: bool = False,
     noise: jax.Array | None = None,
+    fast: bool = False,
 ):
     """Full single-chip MPPI solve via the fused kernel.
 
@@ -443,9 +468,226 @@ def mppi_solve_pallas(
     """
     parts = mppi_pallas_partials(
         cfg, dynamics, cost, n_state, seed, x, u_n,
-        block_sublanes=block_sublanes, interpret=interpret, noise=noise,
+        block_sublanes=block_sublanes, interpret=interpret, noise=noise, fast=fast,
     )
     return finalize_partials(cfg, parts, u_n)
+
+
+def _make_chain_kernel(
+    dynamics: Callable,
+    cost: Callable,
+    cfg: MppiConfig,
+    n_state: int,
+    block_sublanes: int,
+    k_total: int,
+    fast: bool,
+    plant: Callable | None,
+    j_real: int,
+    per_solve_seeds: bool,
+):
+    """Multi-solve receding-horizon chain: grid (n_solves, num_blocks).
+
+    The warm-started u_n and (optionally) the plant state live in SMEM
+    scratch across the whole chain, so J solves cost ONE pallas_call — no
+    per-solve dispatch/finalize glue (round-1 bench: ~4 µs fixed overhead
+    per solve at K=10240, half the solve time)."""
+    n = cfg.n_horizon
+    bs = block_sublanes
+    inv = cfg.std_dev ** -2.0 if cfg.control_inv is None else cfg.control_inv
+    lo, hi = cfg.limit
+    neg_big = np.float32(-3.4e38)
+    inv_lambda = np.float32(1.0 / cfg.lambda_)
+    _log, _sqrt, _sin, _cos = _sampling_math(fast)
+
+    def kernel(seed_ref, x0_ref, u_n0_ref, u0_ref, st_ref, un_ref, v_buf, uw_ref, u_n_s, x_s, ms):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        n_i = pl.num_programs(1)
+
+        @pl.when((j == 0) & (i == 0))
+        def _init_chain():
+            for t in range(n):
+                u_n_s[t] = u_n0_ref[t, 0]
+            for c_ in range(n_state):
+                x_s[c_] = x0_ref[c_, 0]
+
+        @pl.when(i == 0)
+        def _init_solve():
+            ms[0] = neg_big
+            ms[1] = 0.0
+            uw_ref[...] = jnp.zeros_like(uw_ref)
+
+        if per_solve_seeds:
+            pltpu.prng_seed(seed_ref[j], i)
+        else:
+            # scalar-seed mode: fold (solve, block) — same scheme as the
+            # scenario-batched kernel; no J-sized prefetch array needed
+            pltpu.prng_seed(seed_ref[0], j * jnp.int32(100003) + i)
+
+        for t0 in range(0, n, 2):
+            bits = pltpu.prng_random_bits((2, bs, _LANES))
+            u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+            u2 = pltpu.bitcast(
+                (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                jnp.float32,
+            ) - 1.0
+            r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
+            ang = _TWO_PI * u2
+            v_buf[t0] = jnp.clip(u_n_s[t0] + r * _cos(ang), lo, hi)
+            if t0 + 1 < n:
+                v_buf[t0 + 1] = jnp.clip(u_n_s[t0 + 1] + r * _sin(ang), lo, hi)
+
+        xs = tuple(
+            jnp.full((bs, _LANES), x_s[c_], dtype=jnp.float32) for c_ in range(n_state)
+        )
+        c = jnp.zeros((bs, _LANES), jnp.float32)
+        ct = jnp.zeros((bs, _LANES), jnp.float32)
+        for t in range(n):
+            v_t = v_buf[t]
+            xs = dynamics(*xs, v_t)
+            c = c + cost(*xs)
+            ct = ct + u_n_s[t] * inv * v_t
+        score = -c - ct
+
+        finite = jnp.isfinite(score)
+        if k_total % (bs * _LANES):
+            finite = jnp.logical_and(finite, _rollout_index(i, bs) < k_total)
+        block_max = jnp.max(jnp.where(finite, score, neg_big))
+        m_old = ms[0]
+        m_new = jnp.maximum(m_old, block_max)
+        scale = jnp.exp((m_old - m_new) * inv_lambda)
+        e = jnp.where(finite, jnp.exp((score - m_new) * inv_lambda), 0.0)
+        ms[1] = ms[1] * scale + jnp.sum(e)
+        ms[0] = m_new
+        partial = jnp.stack([jnp.sum(e * v_buf[t], axis=0) for t in range(n)], axis=0)
+        uw_ref[...] = uw_ref[...] * scale + partial
+
+        row = j % 8  # row within the (8, 128) output block
+
+        @pl.when(i == n_i - 1)
+        def _finalize_solve():
+            s_val = ms[1]
+            no_finite = ms[0] <= np.float32(-3.3e38)
+            sum_zero = s_val == 0.0
+            inv_s = 1.0 / jnp.where(sum_zero, 1.0, s_val)
+            totals = jnp.sum(uw_ref[...], axis=-1, keepdims=True) * inv_s  # (n, 1)
+            bad = no_finite | sum_zero | ~jnp.isfinite(totals[0, 0])
+            status = jnp.where(
+                no_finite,
+                jnp.float32(MppiStatus.NO_FINITE),
+                jnp.where(
+                    sum_zero,
+                    jnp.float32(MppiStatus.SUM_ZERO),
+                    jnp.where(
+                        jnp.isfinite(totals[0, 0]),
+                        jnp.float32(MppiStatus.OK),
+                        jnp.float32(MppiStatus.INVALID_U),
+                    ),
+                ),
+            )
+            for t in range(n):
+                u_n_s[t] = jnp.where(bad, 0.0, totals[t, 0])
+            u0_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), u_n_s[0], jnp.float32)
+            st_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), status, jnp.float32)
+            if plant is not None:
+                new_xs = plant(*(x_s[c_] for c_ in range(n_state)), u_n_s[0])
+                for c_ in range(n_state):
+                    x_s[c_] = new_xs[c_]
+
+            # final u_n after the last REAL solve (rows past j_real are
+            # tile padding that keeps running the chain harmlessly)
+            @pl.when(j == j_real - 1)
+            def _emit_final_un():
+                for t in range(n):
+                    un_ref[pl.ds(t, 1), :] = jnp.full((1, _LANES), u_n_s[t], jnp.float32)
+
+    return kernel
+
+
+def mppi_pallas_chain(
+    cfg: MppiConfig,
+    dynamics: Callable,
+    cost: Callable,
+    n_state: int,
+    seeds: jax.Array | None,  # (n_solves,) int32, one per solve — or None
+    x: jax.Array,  # (S,) initial state
+    u_n: jax.Array,  # (N,) initial nominal sequence
+    *,
+    n_rollouts: int | None = None,
+    block_sublanes: int | None = None,
+    fast: bool = False,
+    plant: Callable | None = None,
+    interpret: bool = False,
+    n_solves: int | None = None,
+    base_seed: jax.Array | int = 0,
+):
+    """J receding-horizon MPPI solves in ONE fused kernel call.
+
+    The warm start chains through SMEM scratch exactly as the reference
+    reuses the returned sequence verbatim (examples/mppi4.rs:42); zero
+    fallback on failure matches ``finalize_partials``. With ``plant`` the
+    state also advances by one plant step per solve (device-resident
+    closed loop); otherwise x is held (pure solver throughput).
+
+    Seeding: pass ``seeds`` (J,) for per-solve seeds matching the single
+    kernel's (seed, block) scheme (exact chain-vs-sequential parity), or
+    ``seeds=None`` with ``n_solves``/``base_seed`` for unbounded chains
+    (the J-sized prefetch array would not fit SMEM for J ≫ 10⁴).
+
+    Returns (u0s (J,), statuses (J,) int32, final u_n (N,)).
+    """
+    per_solve_seeds = seeds is not None
+    j = int(seeds.shape[0]) if per_solve_seeds else int(n_solves)
+    jp = -(-j // 8) * 8  # output rows padded to the (8, 128) tile
+    if per_solve_seeds:
+        seed_arg = jnp.asarray(seeds, jnp.int32).reshape(j)
+        if jp != j:
+            seed_arg = jnp.concatenate([seed_arg, jnp.zeros(jp - j, jnp.int32)])
+    else:
+        seed_arg = jnp.asarray(base_seed, jnp.int32).reshape(1)
+    k = n_rollouts or cfg.n_rollouts
+    if block_sublanes is None:
+        block_sublanes = _default_block_sublanes(k)
+    bk = block_sublanes * _LANES
+    num_blocks = pl.cdiv(k, bk)
+    n = cfg.n_horizon
+
+    kernel = _make_chain_kernel(
+        dynamics, cost, cfg, n_state, block_sublanes, k, fast, plant, j,
+        per_solve_seeds,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # seeds, x0, u_n0
+        grid=(jp, num_blocks),
+        in_specs=[],
+        out_specs=[
+            pl.BlockSpec((8, _LANES), lambda jj, i, *_: (jj // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda jj, i, *_: (jj // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, _LANES), lambda jj, i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, block_sublanes, _LANES), jnp.float32),  # v_buf
+            pltpu.VMEM((n, _LANES), jnp.float32),  # uw accumulator
+            pltpu.SMEM((n,), jnp.float32),  # warm-started u_n
+            pltpu.SMEM((n_state,), jnp.float32),  # plant/controller state
+            pltpu.SMEM((2,), jnp.float32),  # running (m, s)
+        ],
+    )
+    u0s, sts, un = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((jp, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((jp, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        seed_arg,
+        jnp.asarray(x, jnp.float32).reshape(n_state, 1),
+        jnp.asarray(u_n, jnp.float32).reshape(n, 1),
+    )
+    return u0s[:j, 0], sts[:j, 0].astype(jnp.int32), un[:, 0]
 
 
 def finalize_partials(cfg: MppiConfig, parts: MppiPartials, u_n: jax.Array):
