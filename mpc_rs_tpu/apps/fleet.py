@@ -122,7 +122,83 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
     return tick, carry, dt, theta_idx, guard
 
 
+def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60):
+    """Batched gradient-MPC fleet: B independent op-mpc-x-calc-nl parking
+    problems (condensed QP + PANOC, nonlinear plant — the model-mismatch
+    benchmark, examples/op-mpc-x-calc.rs:73-98) solved per tick with a
+    single vmapped ``panoc_solve`` (vmappable by design —
+    tests/test_panoc.py::test_panoc_vmap_batched_scenarios).
+
+    Returns (tick, carry0, dt). carry = (x (B,4), u_n (B,N), key)."""
+    from mpc_rs_tpu.controllers.panoc import PanocConfig, box_projection, panoc_solve
+    from mpc_rs_tpu.controllers.qp import build_condensed_qp, make_qp_value_and_grad
+    from mpc_rs_tpu.models import reference
+
+    p = CartPoleParams.single_wheel()
+    t_hor, n = 0.8, 8
+    dt = t_hor / n
+    a, bm = dynamics.linear_ab(p, dt)
+    c = np.diag([5.0, 5.0, 1.0, 1.0])
+    qp = build_condensed_qp(a, bm, c, n, dtype=jnp.float32)
+    gen_ref = reference.make_gen_ref_raised_cosine(n)
+    vg_factory = make_qp_value_and_grad(qp, gen_ref)
+    cfg = PanocConfig(tol=1e-5, max_iter=max_iter, lbfgs_mem=10)
+    proj = box_projection(-30.0, 30.0)
+    plant = as_vector_fn(dynamics.make_cartpole_nonlinear(p, dt), 4)
+
+    def solve_one(x, u):
+        return panoc_solve(cfg, None, proj, u, value_and_grad=vg_factory(x)).u
+
+    @jax.jit
+    def tick(carry):
+        x, u_n, key = carry
+        u_new = jax.vmap(solve_one)(x, u_n)
+        x_next = jax.vmap(plant)(x, u_new[:, 0])
+        return (x_next, u_new, key)
+
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    # spread of initial conditions around the reference's start (0.5, 0, 0.1, 0)
+    x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32) + 0.2 * jax.random.normal(
+        k1, (scenarios, 4), jnp.float32
+    )
+    carry = (x0, jnp.zeros((scenarios, n), jnp.float32), k2)
+    return tick, carry, dt
+
+
+def _run_qp_fleet(args):
+    b = args.scenarios
+    tick, carry, dt = build_qp_fleet(b, seed=args.seed, max_iter=args.max_iter or 60)
+    chunk = max(1, min(int(round(args.report_every / dt)), int(args.t_end / dt)))
+
+    @jax.jit
+    def run_chunk(c):
+        c, _ = jax.lax.scan(lambda c, _: (tick(c), None), c, jnp.arange(chunk))
+        return c
+
+    el = Elapsed()
+    n_ticks = int(args.t_end / dt)
+    done = 0
+    while done < n_ticks:
+        t0 = time.perf_counter()
+        carry = run_chunk(carry)
+        x = np.array(carry[0])  # readback = sync
+        wall = time.perf_counter() - t0
+        done += chunk
+        parked = float((np.abs(x[:, 0]) < 0.3).mean())
+        upright = float((np.abs(x[:, 2]) < math.pi / 2).mean())
+        print(
+            f"t={done*dt:6.1f}s  parked={parked:6.3f}  upright={upright:6.3f}  "
+            f"median|x|={float(np.median(np.abs(x[:, 0]))):.3f}  "
+            f"{b*chunk/wall:,.0f} scenario-ticks/s"
+        )
+    el.print()
+    return carry
+
+
 def fleet(args):
+    if getattr(args, "controller", "mppi") == "qp":
+        return _run_qp_fleet(args)
     b = args.scenarios
     backend = pick_backend(args.backend)
     n_dev = len(jax.devices())

@@ -220,12 +220,26 @@ def mppi4_non_liner_ukf(args):
             z = np.array(hx(jnp.asarray(x, jnp.float32)))
         return z + rng_.normal(size=5) * r_diag
 
+    t0_wall = [None]
+
+    def _t():
+        import time as _time
+
+        if t0_wall[0] is None:
+            t0_wall[0] = _time.time()
+        return _time.time() - t0_wall[0]
+
     def controller(key, xh, u_n):
         # 6-state estimate → 4-state controller input [x, dx, θ, θ̇] (:78)
         x4 = np.array([xh[0], xh[1], xh[3], xh[4]])
         if abs(x4[2]) > PI_2:
             return u_n, jnp.int32(0)
-        return solve(int(jax.random.randint(key, (), 0, 2**31 - 1)), x4, u_n)
+        out = solve(int(jax.random.randint(key, (), 0, 2**31 - 1)), x4, u_n)
+        if getattr(args, "console", False):
+            from mpc_rs_tpu.runtime.console import print_con
+
+            print_con(_t(), float(out[0][0]), x4)
+        return out
 
     def predictor(xh, u_n):
         xp = np.array(xh)
@@ -245,11 +259,19 @@ def mppi4_non_liner_ukf(args):
     )
     logger = CsvLogger(f"{args.log_dir}/mppi/mppi.csv")
     el = Elapsed()
+    def est_update(est, u, z, dte):
+        est = est_step(est, u, jnp.asarray(z, jnp.float32), dte)
+        if getattr(args, "console", False):
+            from mpc_rs_tpu.runtime.console import print_rcv
+
+            print_rcv(_t(), u, np.array(est.x), z, p_diag=np.diag(np.array(est.p)))
+        return est
+
     res = run_multirate_loop(
         mr,
         plant_step=lambda x, u, dtp, f: np_step(plant6, x, u, dtp, f),
         sensor=sensor,
-        est_predict_update=lambda est, u, z, dte: est_step(est, u, jnp.asarray(z, jnp.float32), dte),
+        est_predict_update=est_update,
         est_state=lambda est: np.array(est.x, np.float64),
         controller=controller,
         predictor=predictor,

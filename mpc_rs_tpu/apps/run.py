@@ -31,12 +31,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="feed the UKF estimate to the controller (reference DEBUG_UKF=true "
                          "bypasses the estimator; this flag enables the estimator path)")
     ap.add_argument("--device", default="/dev/ttyUSB0", help="serial device for -commu examples")
+    ap.add_argument("--console", action="store_true",
+                    help="ANSI Con:/Rcv: dual console streams (reference mppi4-non-liner-ukf.rs:291-349)")
+    ap.add_argument("--time-scale", type=float, default=1.0,
+                    help="sim seconds per wall second for --sim-mcu (slow-motion HIL twin, <1 for slow hosts)")
     ap.add_argument("--sim-mcu", action="store_true",
                     help="replace the robot with a fake MCU behind a PTY")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--scenarios", type=int, default=1024, help="fleet batch size")
     ap.add_argument("--report-every", type=float, default=1.0, help="fleet report period [s]")
     ap.add_argument("--resume", default=None, help="fleet checkpoint to resume from")
+    ap.add_argument("--controller", choices=["mppi", "qp"], default="mppi",
+                    help="fleet controller: sampling MPPI or vmapped gradient-MPC (PANOC QP)")
     ap.add_argument("--model", choices=["cartpole4", "flagship6"], default="cartpole4",
                     help="fleet plant/estimator stack")
     return ap

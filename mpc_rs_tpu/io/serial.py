@@ -40,11 +40,20 @@ class SerialPort:
 
     def read_packet(self, packet_cls, max_len: int = 256):
         """Frame-resynchronizing packet read — the reference takes the LAST
-        BUF_SIZE bytes of the accumulated buffer (mppi4-commu.rs:109-117)."""
+        BUF_SIZE bytes of the accumulated buffer (mppi4-commu.rs:109-117).
+
+        A frame that fails COBS decode (line noise, partial read after a
+        buffer overrun) is DROPPED, not raised: real serial links corrupt
+        frames and a control loop must keep running on the next good one.
+        Drops are counted in ``n_bad_frames``."""
         data = self.read_frame(max_len)
         if data is None or len(data) < packet_cls.buf_size():
             return None
-        return packet_cls.from_cobs(data[-packet_cls.buf_size():])
+        try:
+            return packet_cls.from_cobs(data[-packet_cls.buf_size():])
+        except ValueError:
+            self.n_bad_frames = getattr(self, "n_bad_frames", 0) + 1
+            return None
 
     def read_latest_packet(self, packet_cls, max_len: int = 256):
         """Drain the RX queue and parse the newest complete frame. Use when

@@ -66,6 +66,7 @@ def make_scenario_step(
     disturbance: Callable | None = None,
     control_start: float = 0.0,
     ukf_p_reset=None,  # enables per-instance NaN recovery (ukf_guard)
+    pallas_interpret: bool = False,  # run the batched kernel interpreted (CPU dryrun)
 ):
     """Returns jitted ``step(carry) -> carry`` advancing every scenario one
     control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
@@ -119,7 +120,8 @@ def make_scenario_step(
                 lambda k: jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
             )(k_mppi)
             parts = mppi_pallas_batch_partials(
-                cfg, dynamics, cost, ns, seeds, x_hats, carry.u_n, n_rollouts=k_local
+                cfg, dynamics, cost, ns, seeds, x_hats, carry.u_n, n_rollouts=k_local,
+                interpret=pallas_interpret,
             )
         else:
             parts = jax.vmap(

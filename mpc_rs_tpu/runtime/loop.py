@@ -32,7 +32,10 @@ class MultiRateConfig:
     dt_phys: float = 1e-3  # physics tick
     sensor_period: float = 9e-3  # UKF thread cadence (sleep 9 ms — :268)
     sensor_latency: float = 0.0  # observation age (modeled, not slept)
-    control_period: float = 1e-2  # controller cadence (free-running thread)
+    # controller cadence; None = FREE-RUNNING: re-solve every physics tick,
+    # like the reference's unthrottled control threads (no sleep in the loop,
+    # mppi4-non-liner-ukf.rs:54-99) on an infinitely fast solver
+    control_period: Optional[float] = 1e-2
     log_period: float = 30e-3  # logging thread cadence (:403)
     t_end: float = 10.0
     skip_publish_eps: float = 1e-2  # |Δu|<ε ⇒ skip publish (:88-90)
@@ -135,9 +138,10 @@ def run_multirate_loop(
     next_log = 0.0
     last_est_t = 0.0
 
+    free_run = cfg.control_period is None
     while t < cfg.t_end:
         # --- controller tick
-        if t >= next_control:
+        if free_run or t >= next_control:
             x_hat = x.copy() if debug_ukf_bypass else est_state(est)
             if cfg.tip_over is not None and cfg.tip_over(x_hat):
                 tipped = True
@@ -147,7 +151,8 @@ def run_multirate_loop(
             n_solves += 1
             if abs(float(u_new[0]) - float(u_n[0])) >= cfg.skip_publish_eps or n_solves == 1:
                 u_n = u_new  # publish (skip-if-close: :88-90,351-354)
-            next_control += cfg.control_period
+            if not free_run:
+                next_control += cfg.control_period
 
         # --- physics tick
         f = cfg.disturbance(t) if cfg.disturbance is not None else 0.0

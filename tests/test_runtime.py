@@ -101,3 +101,38 @@ def test_scaling_harness_runs_on_virtual_mesh():
     assert [r["devices"] for r in res] == [1, 8]
     assert all(r["solves_per_s"] > 0 for r in res)
     assert res[0]["speedup"] == 1.0
+
+
+def test_multirate_free_running_controller():
+    """control_period=None re-solves every physics tick — the reference's
+    unthrottled control threads (mppi4-non-liner-ukf.rs:54-99)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_rs_tpu.runtime.loop import MultiRateConfig, run_multirate_loop
+
+    calls = {"n": 0}
+
+    def controller(key, xh, u_n):
+        calls["n"] += 1
+        return u_n, 0
+
+    mr = MultiRateConfig(dt_phys=1e-2, sensor_period=5e-2, control_period=None,
+                         log_period=1.0, t_end=0.5)
+    res = run_multirate_loop(
+        mr,
+        plant_step=lambda x, u, dtp, f: x,
+        sensor=lambda rng, x: x[:1],
+        est_predict_update=lambda est, u, z, dte: est,
+        est_state=lambda est: np.zeros(4),
+        controller=controller,
+        predictor=None,
+        x0=np.zeros(4),
+        u0=jnp.zeros(4),
+        est0=None,
+        key=jax.random.key(0),
+        rng=np.random.default_rng(0),
+    )
+    # one solve per physics tick (50 ticks in 0.5 s at 10 ms)
+    assert res.n_solves >= 49, res.n_solves

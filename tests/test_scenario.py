@@ -157,3 +157,17 @@ def test_scenario_loop_stabilizes_population():
     # every scenario survives (no tip-over) and the pole angles stay bounded
     assert (th_all < np.radians(60.0)).all(), f"tipped: {th_all}"
     assert np.median(th_all) < 0.3
+
+
+def test_qp_fleet_parks_population():
+    """Batched gradient-MPC fleet (vmapped PANOC): every scenario parks
+    within 3 s and stays upright — examples/op-mpc-x-calc-nl.rs batched."""
+    from mpc_rs_tpu.apps.fleet import build_qp_fleet
+
+    tick, carry, dt = build_qp_fleet(16, seed=1, max_iter=60)
+    for _ in range(int(3.0 / dt)):
+        carry = tick(carry)
+    x = np.array(carry[0])
+    assert np.isfinite(x).all()
+    assert (np.abs(x[:, 2]) < np.pi / 2).all()
+    assert np.median(np.abs(x[:, 0])) < 0.3
