@@ -133,7 +133,7 @@ SPECS = {
                             "flagship survives 10 s incl. 2 N pulse (DEBUG_UKF default)"),
     "mppi4-non-liner-ukf+est": ("mppi4-non-liner-ukf", ["--k", "16384", "--use-ukf-estimate"],
                                 chk_multirate_survives,
-                                "flagship survives 10 s incl. pulse, ESTIMATOR IN LOOP"),
+                                "flagship survives 10 s incl. pulse, ESTIMATOR IN LOOP (K=16384 for CI; a rare seed needs K=65536 — reference K=5e5)"),
     "op-en2": ("op-en2", [], chk_op_en2, "ball2 optimum found"),
     "op-mpc-x": ("op-mpc-x", [], chk_parks, "parks |x|<0.3, |θ|<0.1, no π/2 bail (op-mpc-x.rs:263-266)"),
     "op-mpc-x-calc": ("op-mpc-x-calc", [], chk_parks, "parks (analytic QP)"),
