@@ -47,6 +47,13 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False):
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
     n_dev = mesh.shape["rollouts"]
+    # cartpole4: jittered Cholesky (fast TPU path, survival unaffected).
+    # flagship6: ALWAYS eigh — the UT is not invariant to the square-root
+    # choice through nonlinear fx, and on this filter's anisotropic
+    # covariance the Cholesky sigma placement costs real survival
+    # (round-2 CPU isolation: 0.88 vs 1.00 at matched seeds; the reference
+    # chose SVD for the same reason, src/ukf.rs:120-132). The fleet's UKF
+    # is ~1000× cheaper than its K=8192 MPPI, so eigh is free here.
     sqrt_method = "cholesky" if jax.default_backend() == "tpu" else "eigh"
 
     if model == "flagship6":
@@ -75,7 +82,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             # 2 N push faster (diag sweep: survival 1.000 vs 0.953 at gen_q6(dt))
             noise.gen_q6(jnp.float32(2.15 * dt)).astype(jnp.float32),
             jnp.diag(sens),  # the reference's R (σ-as-R, mppi4-non-liner-ukf.rs:28,164)
-            sqrt_method=sqrt_method,
+            sqrt_method="eigh",
         )
         cfg = MppiConfig(n_horizon=8, n_rollouts=k * n_dev if k % n_dev else k,
                          lambda_=1.4, std_dev=4.0, limit=(-10.0, 10.0))
