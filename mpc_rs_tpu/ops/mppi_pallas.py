@@ -484,13 +484,17 @@ def _make_chain_kernel(
     plant: Callable | None,
     j_real: int,
     per_solve_seeds: bool,
+    num_blocks: int,
 ):
-    """Multi-solve receding-horizon chain: grid (n_solves, num_blocks).
+    """Multi-solve receding-horizon chain: 1-D grid over solves, K-blocks
+    streamed by an IN-KERNEL fori_loop with the (m, s, uw) log-sum-exp
+    accumulators carried in vector registers.
 
     The warm-started u_n and (optionally) the plant state live in SMEM
     scratch across the whole chain, so J solves cost ONE pallas_call — no
-    per-solve dispatch/finalize glue (round-1 bench: ~4 µs fixed overhead
-    per solve at K=10240, half the solve time)."""
+    per-solve dispatch/finalize glue. The in-kernel block loop (round 2.1)
+    removes the per-grid-step overhead (~1 µs/block: scratch RMW + block
+    machinery) that capped big-K throughput at ~31 G steps/s."""
     n = cfg.n_horizon
     bs = block_sublanes
     inv = cfg.std_dev ** -2.0 if cfg.control_inv is None else cfg.control_inv
@@ -499,107 +503,107 @@ def _make_chain_kernel(
     inv_lambda = np.float32(1.0 / cfg.lambda_)
     _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
-    def kernel(seed_ref, x0_ref, u_n0_ref, u0_ref, st_ref, un_ref, v_buf, uw_ref, u_n_s, x_s, ms):
+    def kernel(seed_ref, x0_ref, u_n0_ref, u0_ref, st_ref, un_ref, v_buf, u_n_s, x_s):
         j = pl.program_id(0)
-        i = pl.program_id(1)
-        n_i = pl.num_programs(1)
 
-        @pl.when((j == 0) & (i == 0))
+        @pl.when(j == 0)
         def _init_chain():
             for t in range(n):
                 u_n_s[t] = u_n0_ref[t, 0]
             for c_ in range(n_state):
                 x_s[c_] = x0_ref[c_, 0]
 
-        @pl.when(i == 0)
-        def _init_solve():
-            ms[0] = neg_big
-            ms[1] = 0.0
-            uw_ref[...] = jnp.zeros_like(uw_ref)
+        def block_body(i, carry):
+            m, s_acc, uw = carry
+            if per_solve_seeds:
+                pltpu.prng_seed(seed_ref[j], i)
+            else:
+                # scalar-seed mode: fold (solve, block) — same scheme as
+                # the scenario-batched kernel; no J-sized prefetch array
+                pltpu.prng_seed(seed_ref[0], j * jnp.int32(100003) + i)
 
-        if per_solve_seeds:
-            pltpu.prng_seed(seed_ref[j], i)
-        else:
-            # scalar-seed mode: fold (solve, block) — same scheme as the
-            # scenario-batched kernel; no J-sized prefetch array needed
-            pltpu.prng_seed(seed_ref[0], j * jnp.int32(100003) + i)
+            for t0 in range(0, n, 2):
+                bits = pltpu.prng_random_bits((2, bs, _LANES))
+                u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+                u2 = pltpu.bitcast(
+                    (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                    jnp.float32,
+                ) - 1.0
+                r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
+                ang = _TWO_PI * u2
+                v_buf[t0] = jnp.clip(u_n_s[t0] + r * _cos(ang), lo, hi)
+                if t0 + 1 < n:
+                    v_buf[t0 + 1] = jnp.clip(u_n_s[t0 + 1] + r * _sin(ang), lo, hi)
 
-        for t0 in range(0, n, 2):
-            bits = pltpu.prng_random_bits((2, bs, _LANES))
-            u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
-            u2 = pltpu.bitcast(
-                (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
-                jnp.float32,
-            ) - 1.0
-            r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
-            ang = _TWO_PI * u2
-            v_buf[t0] = jnp.clip(u_n_s[t0] + r * _cos(ang), lo, hi)
-            if t0 + 1 < n:
-                v_buf[t0 + 1] = jnp.clip(u_n_s[t0 + 1] + r * _sin(ang), lo, hi)
-
-        xs = tuple(
-            jnp.full((bs, _LANES), x_s[c_], dtype=jnp.float32) for c_ in range(n_state)
-        )
-        c = jnp.zeros((bs, _LANES), jnp.float32)
-        ct = jnp.zeros((bs, _LANES), jnp.float32)
-        for t in range(n):
-            v_t = v_buf[t]
-            xs = dynamics(*xs, v_t)
-            c = c + cost(*xs)
-            ct = ct + u_n_s[t] * inv * v_t
-        score = -c - ct
-
-        finite = jnp.isfinite(score)
-        if k_total % (bs * _LANES):
-            finite = jnp.logical_and(finite, _rollout_index(i, bs) < k_total)
-        block_max = jnp.max(jnp.where(finite, score, neg_big))
-        m_old = ms[0]
-        m_new = jnp.maximum(m_old, block_max)
-        scale = jnp.exp((m_old - m_new) * inv_lambda)
-        e = jnp.where(finite, jnp.exp((score - m_new) * inv_lambda), 0.0)
-        ms[1] = ms[1] * scale + jnp.sum(e)
-        ms[0] = m_new
-        partial = jnp.stack([jnp.sum(e * v_buf[t], axis=0) for t in range(n)], axis=0)
-        uw_ref[...] = uw_ref[...] * scale + partial
-
-        row = j % 8  # row within the (8, 128) output block
-
-        @pl.when(i == n_i - 1)
-        def _finalize_solve():
-            s_val = ms[1]
-            no_finite = ms[0] <= np.float32(-3.3e38)
-            sum_zero = s_val == 0.0
-            inv_s = 1.0 / jnp.where(sum_zero, 1.0, s_val)
-            totals = jnp.sum(uw_ref[...], axis=-1, keepdims=True) * inv_s  # (n, 1)
-            bad = no_finite | sum_zero | ~jnp.isfinite(totals[0, 0])
-            status = jnp.where(
-                no_finite,
-                jnp.float32(MppiStatus.NO_FINITE),
-                jnp.where(
-                    sum_zero,
-                    jnp.float32(MppiStatus.SUM_ZERO),
-                    jnp.where(
-                        jnp.isfinite(totals[0, 0]),
-                        jnp.float32(MppiStatus.OK),
-                        jnp.float32(MppiStatus.INVALID_U),
-                    ),
-                ),
+            xs = tuple(
+                jnp.full((bs, _LANES), x_s[c_], dtype=jnp.float32) for c_ in range(n_state)
             )
+            c = jnp.zeros((bs, _LANES), jnp.float32)
+            ct = jnp.zeros((bs, _LANES), jnp.float32)
             for t in range(n):
-                u_n_s[t] = jnp.where(bad, 0.0, totals[t, 0])
-            u0_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), u_n_s[0], jnp.float32)
-            st_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), status, jnp.float32)
-            if plant is not None:
-                new_xs = plant(*(x_s[c_] for c_ in range(n_state)), u_n_s[0])
-                for c_ in range(n_state):
-                    x_s[c_] = new_xs[c_]
+                v_t = v_buf[t]
+                xs = dynamics(*xs, v_t)
+                c = c + cost(*xs)
+                ct = ct + u_n_s[t] * inv * v_t
+            score = -c - ct
 
-            # final u_n after the last REAL solve (rows past j_real are
-            # tile padding that keeps running the chain harmlessly)
-            @pl.when(j == j_real - 1)
-            def _emit_final_un():
-                for t in range(n):
-                    un_ref[pl.ds(t, 1), :] = jnp.full((1, _LANES), u_n_s[t], jnp.float32)
+            finite = jnp.isfinite(score)
+            if k_total % (bs * _LANES):
+                finite = jnp.logical_and(finite, _rollout_index(i, bs) < k_total)
+            block_max = jnp.max(jnp.where(finite, score, neg_big))
+            m_new = jnp.maximum(m, block_max)
+            scale = jnp.exp((m - m_new) * inv_lambda)
+            e = jnp.where(finite, jnp.exp((score - m_new) * inv_lambda), 0.0)
+            s_new = s_acc * scale + jnp.sum(e)
+            partial = jnp.stack([jnp.sum(e * v_buf[t], axis=0) for t in range(n)], axis=0)
+            uw_new = uw * scale + partial
+            return m_new, s_new, uw_new
+
+        init = (
+            jnp.float32(neg_big),
+            jnp.float32(0.0),
+            jnp.zeros((n, _LANES), jnp.float32),
+        )
+        if num_blocks == 1:
+            m, s_acc, uw = block_body(0, init)
+        else:
+            m, s_acc, uw = jax.lax.fori_loop(0, num_blocks, block_body, init)
+
+        # --- finalize this solve (same semantics as finalize_partials)
+        no_finite = m <= np.float32(-3.3e38)
+        sum_zero = s_acc == 0.0
+        inv_s = 1.0 / jnp.where(sum_zero, 1.0, s_acc)
+        totals = jnp.sum(uw, axis=-1, keepdims=True) * inv_s  # (n, 1)
+        bad = no_finite | sum_zero | ~jnp.isfinite(totals[0, 0])
+        status = jnp.where(
+            no_finite,
+            jnp.float32(MppiStatus.NO_FINITE),
+            jnp.where(
+                sum_zero,
+                jnp.float32(MppiStatus.SUM_ZERO),
+                jnp.where(
+                    jnp.isfinite(totals[0, 0]),
+                    jnp.float32(MppiStatus.OK),
+                    jnp.float32(MppiStatus.INVALID_U),
+                ),
+            ),
+        )
+        for t in range(n):
+            u_n_s[t] = jnp.where(bad, 0.0, totals[t, 0])
+        row = j % 8  # row within the (8, 128) output block
+        u0_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), u_n_s[0], jnp.float32)
+        st_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), status, jnp.float32)
+        if plant is not None:
+            new_xs = plant(*(x_s[c_] for c_ in range(n_state)), u_n_s[0])
+            for c_ in range(n_state):
+                x_s[c_] = new_xs[c_]
+
+        # final u_n after the last REAL solve (rows past j_real are tile
+        # padding that keeps running the chain harmlessly)
+        @pl.when(j == j_real - 1)
+        def _emit_final_un():
+            for t in range(n):
+                un_ref[pl.ds(t, 1), :] = jnp.full((1, _LANES), u_n_s[t], jnp.float32)
 
     return kernel
 
@@ -654,23 +658,21 @@ def mppi_pallas_chain(
 
     kernel = _make_chain_kernel(
         dynamics, cost, cfg, n_state, block_sublanes, k, fast, plant, j,
-        per_solve_seeds,
+        per_solve_seeds, num_blocks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # seeds, x0, u_n0
-        grid=(jp, num_blocks),
+        grid=(jp,),
         in_specs=[],
         out_specs=[
-            pl.BlockSpec((8, _LANES), lambda jj, i, *_: (jj // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _LANES), lambda jj, i, *_: (jj // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, _LANES), lambda jj, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda jj, *_: (jj // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _LANES), lambda jj, *_: (jj // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, _LANES), lambda jj, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, block_sublanes, _LANES), jnp.float32),  # v_buf
-            pltpu.VMEM((n, _LANES), jnp.float32),  # uw accumulator
             pltpu.SMEM((n,), jnp.float32),  # warm-started u_n
             pltpu.SMEM((n_state,), jnp.float32),  # plant/controller state
-            pltpu.SMEM((2,), jnp.float32),  # running (m, s)
         ],
     )
     u0s, sts, un = pl.pallas_call(
