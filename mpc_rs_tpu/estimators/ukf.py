@@ -39,10 +39,11 @@ class UkfParams(NamedTuple):
     n: int
     n_obs: int
     # 'eigh': graceful on near-PSD P (mirrors the reference's SVD choice) —
-    # default, best on CPU/f64. 'cholesky': jittered Cholesky — much faster
-    # on TPU for large vmapped scenario fleets (eigh has no fast TPU path);
-    # the relative jitter keeps near-PSD covariances factorizable instead of
-    # panicking like the reference's .expect("Cholesky fail").
+    # default, best on CPU/f64. 'jacobi': same eigen-direction sigma
+    # placement via the unrolled batched Jacobi (smallalg) — the fast TPU
+    # path for vmapped fleets. 'cholesky': jittered Cholesky — fastest, but
+    # the UT is not sqrt-invariant through nonlinear fx and Cholesky
+    # directions can cost estimation quality on anisotropic covariances.
     sqrt_method: str = "eigh"
 
 
@@ -101,6 +102,18 @@ def sigma_points(params: UkfParams, x: jax.Array, p: jax.Array) -> jax.Array:
         l = chol_unrolled(s + jitter[..., None, None] * jnp.eye(n, dtype=s.dtype))
         deltas = jnp.swapaxes(l, -1, -2)  # row i = column i of chol factor
         deltas = jnp.where(jnp.isfinite(deltas), deltas, 0.0)
+    elif params.sqrt_method == "jacobi":
+        # EXPERIMENTAL: eigen-direction sigma placement via the unrolled
+        # batched Jacobi (smallalg) — much faster than XLA's QDWH eigh on
+        # TPU, and accurate on synthetic PSD tests (~1e-6), but on the
+        # flagship fleet's near-cliff covariances its residual error cost
+        # measurable survival (0.99 at 4 sweeps / 0.60 at 5 vs 1.00 exact),
+        # so production fleets use exact 'eigh'. Kept for future tuning.
+        from mpc_rs_tpu.estimators.smallalg import eigh_jacobi_unrolled
+
+        w, v = eigh_jacobi_unrolled(s)
+        l = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]
+        deltas = jnp.swapaxes(l, -1, -2)
     else:
         w, v = jnp.linalg.eigh(s)
         l = v * jnp.sqrt(jnp.maximum(w, 0.0))[..., None, :]  # columns Lᵢ = vᵢ√λᵢ
@@ -153,7 +166,11 @@ def ukf_update(params: UkfParams, state: UkfState, z, hx: Callable) -> UkfState:
     yh = sigmas_h - zp[..., None, :]
     pxz = jnp.einsum("...m,...ms,...mt->...st", params.wc, yf, yh, precision=_HI)
     if params.sqrt_method == "cholesky":
-        # Pz is SPD: unrolled Cholesky solve fuses into the batched tick
+        # Pz is SPD: unrolled Cholesky solve fuses into the batched tick.
+        # NOT used for 'jacobi': on ill-conditioned Pz (rpm var ~4e4 vs
+        # accel var ~2.5e-3, cond ~1e7) the f32 unrolled solve loses the
+        # gain's small-channel digits (flagship survival 0.23 vs 1.00);
+        # jnp.linalg.solve's pivoted LU keeps them
         from mpc_rs_tpu.estimators.smallalg import spd_solve_unrolled
 
         k = spd_solve_unrolled(pz, jnp.swapaxes(pxz, -1, -2))

@@ -47,3 +47,24 @@ def test_chol_unrolled_near_psd_zeroes_column():
     assert np.isfinite(l).all()
     assert np.abs(l).max() < 10.0, f"exploding factor: {l}"
     assert l[1, 1] == 0.0 and l[2, 1] == 0.0  # zeroed column
+
+
+def test_eigh_jacobi_unrolled_accuracy():
+    """Batched unrolled Jacobi: reconstruction, eigenvalue, and
+    orthogonality error bounds on random SPD matrices (n=4, 6)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mpc_rs_tpu.estimators.smallalg import eigh_jacobi_unrolled
+
+    rng = np.random.default_rng(3)
+    for n in (4, 6):
+        m = rng.normal(size=(64, n, n)).astype(np.float32)
+        s = (m @ np.swapaxes(m, -1, -2)) + 0.01 * np.eye(n, dtype=np.float32)
+        w, v = eigh_jacobi_unrolled(jnp.asarray(s))
+        w, v = np.asarray(w), np.asarray(v)
+        rec = v @ (w[..., None] * np.swapaxes(v, -1, -2))
+        assert np.abs(rec - s).max() / np.abs(s).max() < 5e-4
+        wr = np.linalg.eigvalsh(s)
+        assert np.abs(np.sort(w, axis=-1) - wr).max() / np.abs(wr).max() < 1e-5
+        assert np.abs(v @ np.swapaxes(v, -1, -2) - np.eye(n)).max() < 1e-5
