@@ -44,7 +44,10 @@ from mpc_rs_tpu.utils import as_vector_fn
 
 
 def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
-                scenarios: int = 1024, feed_true_state: bool = False):
+                scenarios: int = 1024, feed_true_state: bool = False,
+                fast_math: bool = True):
+    # fast_math applies to the cartpole4 controller rollouts only (survival
+    # 1.000 with or without); the flagship is pinned exact (see below)
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
     n_dev = mesh.shape["rollouts"]
     # cartpole4: jittered Cholesky (fast TPU path, survival unaffected).
@@ -70,6 +73,9 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             out = plant6(*(xv[..., i] for i in range(6)), u, dt, 0.0)
             return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
 
+        # flagship stays EXACT: fast-math costs a measurable 0.4% survival
+        # here (0.996 vs 1.000 at B=256) for only ~15% tick time — this
+        # fleet sits near a stability cliff and gets the accurate path
         ctrl_step = dynamics.make_flagship4(p, 1.2 / 8)
         cost = costs.make_diag4(0.1, 0.1, 1.0, 0.5)
         hx = observation.make_hx_imu6(p)
@@ -103,7 +109,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         n_substeps = 5  # 100 Hz plant/sensor/UKF
         k = k or 1024
         p = CartPoleParams.single_wheel()
-        ctrl_step = dynamics.make_cartpole_nonlinear(p, 0.1)
+        ctrl_step = dynamics.make_cartpole_nonlinear(p, 0.1, fast=fast_math)
         fx = as_vector_fn(dynamics.make_cartpole_nonlinear(p, dt / n_substeps), 4)
         hx = observation.make_hx_rpm_gyro4(p)
         sens = jnp.asarray([50.0, 50.0, 0.5], jnp.float32)
@@ -119,7 +125,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             cfg, ctrl_step, costs.shaped4, fx, params, fx, hx, sens, mesh,
             backend="pallas" if backend == "pallas" else "jnp", n_state=4,
             n_substeps=n_substeps, dt_tick=dt, ukf_p_reset=p0,
-            feed_true_state=feed_true_state,
+            feed_true_state=feed_true_state, fast_math=fast_math,
         )
         theta_idx, guard = 2, math.radians(60.0)
 

@@ -67,6 +67,7 @@ def make_scenario_step(
     control_start: float = 0.0,
     ukf_p_reset=None,  # enables per-instance NaN recovery (ukf_guard)
     pallas_interpret: bool = False,  # run the batched kernel interpreted (CPU dryrun)
+    fast_math: bool = False,  # polynomial transcendentals in the MPPI kernel sampling
 ):
     """Returns jitted ``step(carry) -> carry`` advancing every scenario one
     control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
@@ -121,7 +122,7 @@ def make_scenario_step(
             )(k_mppi)
             parts = mppi_pallas_batch_partials(
                 cfg, dynamics, cost, ns, seeds, x_hats, carry.u_n, n_rollouts=k_local,
-                interpret=pallas_interpret,
+                interpret=pallas_interpret, fast=fast_math,
             )
         else:
             parts = jax.vmap(
