@@ -91,15 +91,22 @@ def main():
         short, long_ = make_chain(cfg, j_short, fast), make_chain(cfg, j_long, fast)
         float(short(x0, u0, jnp.int32(0)))
         float(long_(x0, u0, jnp.int32(0)))
-        ts, tl = [], []
-        for r in range(reps):
-            t0 = time.perf_counter()
-            float(short(x0, u0, jnp.int32(7 * r + 1)))
-            ts.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(long_(x0, u0, jnp.int32(13 * r + 2)))
-            tl.append(time.perf_counter() - t0)
-        return (min(tl) - min(ts)) / (j_long - j_short)
+        for attempt in range(3):
+            ts, tl = [], []
+            for r in range(reps):
+                t0 = time.perf_counter()
+                float(short(x0, u0, jnp.int32(100 * attempt + 7 * r + 1)))
+                ts.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(long_(x0, u0, jnp.int32(100 * attempt + 13 * r + 2)))
+                tl.append(time.perf_counter() - t0)
+            sec = (min(tl) - min(ts)) / (j_long - j_short)
+            # tunnel congestion can stretch individual dispatches by seconds;
+            # a non-positive or jitter-dominated marginal is fiction — retry,
+            # else fall back to the conservative whole-run upper bound
+            if sec > 0 and (min(tl) - min(ts)) > 0.1 * min(tl):
+                return sec
+        return min(tl) / j_long
 
     def make_scan(cfg):
         def body(carry, seed):

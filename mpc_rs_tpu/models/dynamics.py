@@ -80,11 +80,18 @@ def make_cartpole_nonlinear(p: CartPoleParams, dt: float | None = None, *, fast:
         thrust = p.kt * u / p.r_w + ml * x3 * x3 * s
         term1 = p.mass_line * p.m2 * p.g * p.l * s
         term2 = thrust * ml * c
-        n3 = x3 + (term1 - term2) / d * dt
-        n2 = x2 + x3 * dt
         term3 = (p.j2 + p.m2 * p.l * p.l) * thrust
         term4 = p.m2 * p.g * p.l * p.l * s * c
-        n1 = x1 + (term3 + term4) / d * dt
+        if fast:
+            # one reciprocal feeds both accelerations (a divide is a
+            # multi-pass VPU op; the two quotients share d)
+            inv_d_dt = dt / d
+            n3 = x3 + (term1 - term2) * inv_d_dt
+            n1 = x1 + (term3 + term4) * inv_d_dt
+        else:
+            n3 = x3 + (term1 - term2) / d * dt
+            n1 = x1 + (term3 + term4) / d * dt
+        n2 = x2 + x3 * dt
         n0 = x0 + x1 * dt
         return n0, n1, n2, n3
 
@@ -116,6 +123,23 @@ def make_ddot(p: CartPoleParams, *, fast: bool = False):
     def ddot_fn(dx, theta, dtheta, u, f):
         s, c = _sc(theta)
         d = d1 - (ml * c) ** 2
+        if fast:
+            # one reciprocal feeds all eight quotients (same denominator)
+            inv_d = 1.0 / d
+            cdt = _fc(dtheta)
+            ddot_x = inv_d * (
+                mll_j2 * ml * dtheta * dtheta * s
+                - (ml**2) * p.g * s * c
+                + (2.0 * mll_j2 / p.r_w) * p.kt * u
+                + mll_j2 * f * cdt
+            )
+            ddot_theta = inv_d * (
+                -(ml**2) * dtheta * dtheta * s * c
+                + (p.m2 * p.g * s - 2.0 * f) * p.l * p.mass_line_two
+                - (2.0 * ml / p.r_w) * p.kt * u * c
+                - ml * f * cdt * cdt
+            )
+            return ddot_x, ddot_theta
         # ddot_x — mppi4-non-liner-ukf.rs:128-133
         term1 = mll_j2 * ml / d * dtheta * dtheta * s
         term2 = -(ml**2) * p.g / d * s * c
