@@ -45,19 +45,25 @@ from mpc_rs_tpu.utils import as_vector_fn
 
 def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False,
-                fast_math: bool = True):
+                fast_math: bool = True, sqrt_method: str | None = None):
     # fast_math applies to the cartpole4 controller rollouts only (survival
     # 1.000 with or without); the flagship is pinned exact (see below)
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
     n_dev = mesh.shape["rollouts"]
     # cartpole4: jittered Cholesky (fast TPU path, survival unaffected).
-    # flagship6: ALWAYS eigh — the UT is not invariant to the square-root
-    # choice through nonlinear fx, and on this filter's anisotropic
-    # covariance the Cholesky sigma placement costs real survival
-    # (round-2 CPU isolation: 0.88 vs 1.00 at matched seeds; the reference
-    # chose SVD for the same reason, src/ukf.rs:120-132). The fleet's UKF
-    # is ~1000× cheaper than its K=8192 MPPI, so eigh is free here.
-    sqrt_method = "cholesky" if jax.default_backend() == "tpu" else "eigh"
+    # flagship6: eigen-direction sigma placement is REQUIRED — the UT is
+    # not invariant to the square-root choice through nonlinear fx, and on
+    # this filter's anisotropic covariance the Cholesky sigma placement
+    # costs real survival (TPU B=1024: 0.971 vs 1.000 at matched seeds;
+    # round-2 CPU isolation: 0.88 vs 1.00; the reference chose SVD for the
+    # same reason, src/ukf.rs:120-132). Default is the unrolled-Jacobi
+    # eigen root: tip-for-tip identical to exact eigh across seeds 0-3 at
+    # B=1024 (4094/4096 vs 4094/4096, the two tipped scenarios shared) and
+    # ~1.5-3× faster per tick because XLA's QDWH eigh dominates the vmapped
+    # UKF otherwise (DESIGN.md §5).
+    cart_sqrt = sqrt_method or (
+        "cholesky" if jax.default_backend() == "tpu" else "eigh"
+    )
 
     if model == "flagship6":
         dt = 0.01  # 100 Hz control+sensor (reference UKF thread: 9 ms sleep)
@@ -88,7 +94,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             # 2 N push faster (diag sweep: survival 1.000 vs 0.953 at gen_q6(dt))
             noise.gen_q6(jnp.float32(2.15 * dt)).astype(jnp.float32),
             jnp.diag(sens),  # the reference's R (σ-as-R, mppi4-non-liner-ukf.rs:28,164)
-            sqrt_method="eigh",
+            sqrt_method=sqrt_method or "jacobi",
         )
         cfg = MppiConfig(n_horizon=8, n_rollouts=k * n_dev if k % n_dev else k,
                          lambda_=1.4, std_dev=4.0, limit=(-10.0, 10.0))
@@ -117,7 +123,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         p0 = 0.1 * jnp.eye(4, dtype=jnp.float32)
         params, ukf0 = ukf_init(
             x0, p0, noise.gen_q4(dt / n_substeps).astype(jnp.float32), jnp.diag(sens * sens),
-            sqrt_method=sqrt_method,
+            sqrt_method=cart_sqrt,
         )
         cfg = MppiConfig(n_horizon=8, n_rollouts=k * n_dev if k % n_dev else k,
                          lambda_=0.5, std_dev=10.0, limit=(-10.0, 10.0))
@@ -218,6 +224,7 @@ def fleet(args):
     mesh = make_mesh({"scenario": 1, "rollouts": n_dev})
     tick, carry, dt, theta_idx, guard = build_fleet(
         args.model, args.k, backend, mesh, seed=args.seed, scenarios=b,
+        sqrt_method=getattr(args, "sqrt_method", None),
     )
     ckpt_path = os.path.join(args.log_dir, "fleet", "fleet.npz")
     if args.resume:

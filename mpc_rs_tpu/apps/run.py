@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fleet controller: sampling MPPI or vmapped gradient-MPC (PANOC QP)")
     ap.add_argument("--model", choices=["cartpole4", "flagship6"], default="cartpole4",
                     help="fleet plant/estimator stack")
+    ap.add_argument("--sqrt-method", choices=["eigh", "jacobi", "cholesky"], default=None,
+                    help="override the fleet UKF sigma-root (default: per-model choice)")
     return ap
 
 

@@ -103,12 +103,12 @@ def sigma_points(params: UkfParams, x: jax.Array, p: jax.Array) -> jax.Array:
         deltas = jnp.swapaxes(l, -1, -2)  # row i = column i of chol factor
         deltas = jnp.where(jnp.isfinite(deltas), deltas, 0.0)
     elif params.sqrt_method == "jacobi":
-        # EXPERIMENTAL: eigen-direction sigma placement via the unrolled
-        # batched Jacobi (smallalg) — much faster than XLA's QDWH eigh on
-        # TPU, and accurate on synthetic PSD tests (~1e-6), but on the
-        # flagship fleet's near-cliff covariances its residual error cost
-        # measurable survival (0.99 at 4 sweeps / 0.60 at 5 vs 1.00 exact),
-        # so production fleets use exact 'eigh'. Kept for future tuning.
+        # Eigen-direction sigma placement via the unrolled batched Jacobi
+        # (smallalg) — much faster than XLA's QDWH eigh on TPU (pure
+        # elementwise math that fuses into a vmapped tick). Validated
+        # equivalent to exact 'eigh': moment-contract + linear-filter
+        # equality tests (tests/test_ukf.py) and tip-for-tip identical
+        # flagship-fleet survival across 4 seeds at B=1024 (DESIGN.md §5).
         from mpc_rs_tpu.estimators.smallalg import eigh_jacobi_unrolled
 
         w, v = eigh_jacobi_unrolled(s)

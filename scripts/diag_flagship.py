@@ -35,7 +35,8 @@ SIG_REF = jnp.asarray([200.0, 200.0, 10.0, 0.05, 0.05], jnp.float32)
 
 
 def run(name, *, sig=SIG_REF, r=None, dt=0.02, substeps=2, true_state=False,
-        k=K, ticks=TICKS, std=4.0, q_dt=None, pulse=2.0, p0=10.0, cs=0.0):
+        k=K, ticks=TICKS, std=4.0, q_dt=None, pulse=2.0, p0=10.0, cs=0.0,
+        sqrt_method="eigh"):
     dt_sub = dt / substeps
 
     def plant_fx(xv, u, f):
@@ -50,6 +51,7 @@ def run(name, *, sig=SIG_REF, r=None, dt=0.02, substeps=2, true_state=False,
     params, ukf0 = ukf_init(
         jnp.zeros(6, jnp.float32), p0 * jnp.eye(6, dtype=jnp.float32),
         noise.gen_q6(jnp.float32(q_dt if q_dt else dt_sub)).astype(jnp.float32), r,
+        sqrt_method=sqrt_method,
     )
     cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=1.4, std_dev=std, limit=(-10.0, 10.0))
     ctrl_step = dynamics.make_flagship4(p, 1.2 / 8)
@@ -92,4 +94,11 @@ def run(name, *, sig=SIG_REF, r=None, dt=0.02, substeps=2, true_state=False,
 if __name__ == "__main__":
     print(f"B={B} K={K} ticks={TICKS}")
     kw = dict(r=jnp.diag(SIG_REF), q_dt=0.0215, dt=0.01, substeps=1)
-    run("K8192 P0=.1 5s", k=8192, p0=0.1, ticks=TICKS, **kw)
+    if len(sys.argv) > 4 and sys.argv[4] == "sqrt":
+        # matched-seed sigma-root comparison (STATUS gap #2: recover the
+        # eigh throughput with the unrolled Jacobi eigen-root)
+        for m in ("eigh", "jacobi", "cholesky"):
+            run(f"K{K} P0=.1 sqrt={m}", k=K, p0=0.1, ticks=TICKS,
+                sqrt_method=m, **kw)
+    else:
+        run("K8192 P0=.1 5s", k=8192, p0=0.1, ticks=TICKS, **kw)

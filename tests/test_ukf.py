@@ -233,3 +233,83 @@ def test_ukf_f32_no_catastrophic_cancellation():
         s = ukf_update(params, s, jnp.asarray(z, jnp.float32), hx)
         assert np.isfinite(np.array(s.x)).all(), f"NaN at step {i}"
         assert np.isfinite(np.array(s.p)).all(), f"NaN P at step {i}"
+
+
+def test_ukf_jacobi_sigma_root_moment_contract():
+    """The defining contract of ANY sigma root: identity-UT over the sigma
+    set reconstructs (x, P) exactly. The unrolled-Jacobi root
+    (smallalg.eigh_jacobi_unrolled, the fast TPU option) must satisfy it to
+    its decomposition residual (~1e-5 of scale in f32), matching eigh.
+
+    Filter-level nonlinear per-step comparison is deliberately NOT tested:
+    the flagship measurement update amplifies 1e-6 P perturbations by up to
+    1e4 (measured: eigh-vs-eigh with 1e-6-perturbed P moves the state by up
+    to 2.6e-2 of scale), so any tolerance tight enough to be meaningful
+    fails for eigh against itself. Nonlinear closed-loop equivalence is
+    evidenced at the survival level instead (TPU flagship fleet, B=1024,
+    seeds 0-3: jacobi 4094/4096 scenario-survivals, per-seed identical to
+    exact eigh — the two tipped scenarios tip under BOTH roots, so they
+    are the operating point's, not the root's; DESIGN.md §5)."""
+    from mpc_rs_tpu.estimators.ukf import sigma_points, unscented_transform
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        x0 = jnp.asarray(rng.normal(size=6) * [0.2, 0.3, 0.5, 0.15, 0.5, 1.0], jnp.float32)
+        a = rng.normal(size=(6, 6)) * rng.uniform(0.02, 0.3)
+        p0 = jnp.asarray(a @ a.T + 1e-3 * np.eye(6), jnp.float32)
+        for m in ("eigh", "jacobi"):
+            pr, _ = ukf_init(x0, p0, jnp.zeros((6, 6), jnp.float32),
+                             jnp.eye(5, dtype=jnp.float32), sqrt_method=m)
+            sig = sigma_points(pr, x0, p0)
+            mean, cov = unscented_transform(pr.wm, pr.wc, sig,
+                                            jnp.zeros((6, 6), jnp.float32))
+            # mean atol = the f32 floor: wm[1]≈1.7e5 amplifies the rounding
+            # already committed in forming x±L (eigh itself sits at ~1.5e-4)
+            np.testing.assert_allclose(np.array(mean), np.array(x0),
+                                       atol=5e-4, err_msg=f"trial {trial} {m} mean")
+            pscale = max(np.abs(np.array(p0)).max(), 1e-3)
+            np.testing.assert_allclose(np.array(cov) / pscale,
+                                       np.array(p0) / pscale, atol=2e-3,
+                                       err_msg=f"trial {trial} {m} cov")
+
+
+def test_ukf_jacobi_matches_eigh_on_linear_model():
+    """Under LINEAR fx/hx the UT depends only on the first two moments of
+    the sigma set — which every valid root reproduces (moment contract
+    above) — so eigh and jacobi must produce the same posterior up to the
+    decomposition residual, with no chaotic amplification to excuse. This
+    pins filter-level equivalence of the fast TPU root on a well-posed
+    problem (cf. two-liner-kf.rs: linear KF is the reference's own oracle
+    tier). Run in f64 so the assertion sits at the decomposition residual
+    (~1e-6) instead of the f32 UT roundoff floor (~2e-3, measured)."""
+    rng = np.random.default_rng(11)
+    with jax.enable_x64(True):
+        a_lin = jnp.asarray(np.eye(6) + 0.05 * rng.normal(size=(6, 6)))
+        h_lin = jnp.asarray(rng.normal(size=(5, 6)))
+
+        def fx(xv, u):
+            return xv @ a_lin.T + 0.1 * u
+
+        def hx(xv):
+            return xv @ h_lin.T
+
+        q = jnp.diag(jnp.asarray([0, 0, 0, 0, 0, 10.0]))
+        r = jnp.diag(jnp.asarray([4.0, 4.0, 0.5, 4.0, 4.0]))
+        for trial in range(20):
+            x0 = jnp.asarray(rng.normal(size=6) * [0.2, 0.3, 0.5, 0.15, 0.5, 1.0])
+            a = rng.normal(size=(6, 6)) * rng.uniform(0.02, 0.3)
+            p0 = jnp.asarray(a @ a.T + 1e-3 * np.eye(6))
+            z = jnp.asarray(np.array(h_lin) @ np.array(x0) + rng.normal(size=5))
+            states = {}
+            for m in ("eigh", "jacobi"):
+                pr, s = ukf_init(x0, p0, q, r, sqrt_method=m)
+                states[m] = ukf_update(
+                    pr, ukf_predict(pr, s, jnp.asarray(0.1), fx), z, hx)
+            xe, xj = np.array(states["eigh"].x), np.array(states["jacobi"].x)
+            scale = np.maximum(np.abs(xe), 1.0)
+            np.testing.assert_allclose(xj / scale, xe / scale, atol=1e-5,
+                                       err_msg=f"trial {trial}")
+            pe_, pj_ = np.array(states["eigh"].p), np.array(states["jacobi"].p)
+            pscale = max(np.abs(pe_).max(), 1e-3)
+            np.testing.assert_allclose(pj_ / pscale, pe_ / pscale, atol=1e-5,
+                                       err_msg=f"trial {trial} P")
