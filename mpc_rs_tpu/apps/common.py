@@ -32,10 +32,31 @@ def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str
     # ONE dispatch — eager jnp.asarray would cost a device round trip each
     # on a remote/tunneled TPU.
     if backend == "pallas":
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
 
-        @jax.jit
-        def solve(seed, x, u_n):
-            return mppi_solve_pallas(cfg, dynamics, cost, n_state, seed, x, u_n)
+            @jax.jit
+            def solve(seed, x, u_n):
+                return mppi_solve_pallas(cfg, dynamics, cost, n_state, seed, x, u_n)
+
+        else:
+            # off-TPU `--backend pallas`: interpret mode with external
+            # threefry noise (the interpreter's hardware-PRNG is a stub),
+            # so the kernel code path is debuggable anywhere
+            from mpc_rs_tpu.ops.mppi_pallas import _LANES, _default_block_sublanes
+
+            bs = _default_block_sublanes(cfg.n_rollouts)
+            nb = -(-cfg.n_rollouts // (bs * _LANES))
+
+            @jax.jit
+            def solve(seed, x, u_n):
+                eps = cfg.std_dev * jax.random.normal(
+                    jax.random.key(seed), (nb, cfg.n_horizon, bs, _LANES), jnp.float32
+                )
+                return mppi_solve_pallas(
+                    cfg, dynamics, cost, n_state, seed, x, u_n,
+                    interpret=True, noise=eps,
+                )
 
         return lambda seed, x, u_n: solve(
             np.int32(seed), np.asarray(x, np.float32), u_n

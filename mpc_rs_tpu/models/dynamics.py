@@ -84,8 +84,11 @@ def make_cartpole_nonlinear(p: CartPoleParams, dt: float | None = None, *, fast:
         term4 = p.m2 * p.g * p.l * p.l * s * c
         if fast:
             # one reciprocal feeds both accelerations (a divide is a
-            # multi-pass VPU op; the two quotients share d)
-            inv_d_dt = dt / d
+            # multi-pass VPU op; the two quotients share d); in-kernel it
+            # is the hardware approx rcp (1.6e-5 rel, ops/fastmath.py)
+            from mpc_rs_tpu.ops.fastmath import fdiv
+
+            inv_d_dt = fdiv(dt, d)
             n3 = x3 + (term1 - term2) * inv_d_dt
             n1 = x1 + (term3 + term4) * inv_d_dt
         else:
@@ -124,8 +127,11 @@ def make_ddot(p: CartPoleParams, *, fast: bool = False):
         s, c = _sc(theta)
         d = d1 - (ml * c) ** 2
         if fast:
-            # one reciprocal feeds all eight quotients (same denominator)
-            inv_d = 1.0 / d
+            # one reciprocal feeds all eight quotients (same denominator);
+            # in-kernel: hardware approx rcp (1.6e-5 rel, ops/fastmath.py)
+            from mpc_rs_tpu.ops.fastmath import freciprocal
+
+            inv_d = freciprocal(d)
             cdt = _fc(dtheta)
             ddot_x = inv_d * (
                 mll_j2 * ml * dtheta * dtheta * s

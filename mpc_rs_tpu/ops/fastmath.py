@@ -21,6 +21,7 @@ tolerances are far below MPPI's sampling noise floor.
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 import jax
@@ -111,8 +112,47 @@ def fsqrt(x):
     return x * frsqrt(jnp.maximum(x, np.float32(1e-38)))
 
 
+_HW_RCP = False  # set only while tracing a Pallas kernel body (hw_rcp_scope)
+
+
+@contextlib.contextmanager
+def hw_rcp_scope():
+    """Enable the hardware approximate reciprocal for freciprocal/fdiv.
+
+    ``pl.reciprocal`` happily traces *outside* pallas_call too (it lowers
+    through XLA), so context detection can't be exception-based; the MPPI
+    kernels enter this scope around their body trace instead. Tracing is
+    single-threaded per process, so a module flag is safe."""
+    global _HW_RCP
+    prev, _HW_RCP = _HW_RCP, True
+    try:
+        yield
+    finally:
+        _HW_RCP = prev
+
+
 def freciprocal(x):
-    """1/x. Kept as exact division: XLA's VPU divide pipelines well here and
-    an approx-reciprocal+Newton was not a measured win; the hook stays so
-    dynamics variants share one spelling."""
+    """1/x: hardware approximate reciprocal inside a Pallas kernel body
+    (measured max rel err 1.6e-5 on v5e across [1e-3, 10] — within the
+    fast-math tolerance budget, no Newton step), exact division elsewhere.
+
+    An approx+Newton refinement was tried first and was NOT a win (the
+    2-mul refinement costs what the divide's own refinement costs); the
+    raw table lookup is the only cheaper point on the accuracy curve."""
+    if _HW_RCP:
+        from jax.experimental import pallas as pl
+
+        return pl.reciprocal(jnp.asarray(x, jnp.float32), approx=True)
     return 1.0 / x
+
+
+def fdiv(num, den):
+    """num/den: ``num · rcp(den)`` inside a Pallas kernel body, plain
+    single-rounding division elsewhere (keeps the vmap tier bit-identical
+    to its pre-rcp form, so exact-vs-fast comparisons don't absorb an
+    extra rounding)."""
+    if _HW_RCP:
+        from jax.experimental import pallas as pl
+
+        return num * pl.reciprocal(jnp.asarray(den, jnp.float32), approx=True)
+    return num / den

@@ -66,6 +66,22 @@ def _bits_to_unit_open(bits):
     return 2.0 - f
 
 
+def _hw_rcp_kernel(kernel_fn):
+    """Trace the kernel body under fastmath.hw_rcp_scope so fdiv/freciprocal
+    in fast dynamics emit the hardware approx reciprocal (in-kernel only;
+    the vmap tier keeps exact division — ops/fastmath.py)."""
+    import functools
+
+    from mpc_rs_tpu.ops import fastmath
+
+    @functools.wraps(kernel_fn)
+    def wrapped(*refs):
+        with fastmath.hw_rcp_scope():
+            return kernel_fn(*refs)
+
+    return wrapped
+
+
 def _sampling_math(fast: bool):
     """(log, sqrt, sin, cos) used by in-kernel Box-Muller."""
     if fast:
@@ -93,6 +109,7 @@ def _make_kernel(
     bk = bs * _LANES
     _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
+    @_hw_rcp_kernel
     def kernel(seed_ref, x0_ref, u_n_ref, *rest):
         if use_prng:
             m_ref, s_ref, uw_ref, v_buf = rest
@@ -271,6 +288,7 @@ def _make_batched_kernel(
     inv_lambda = np.float32(1.0 / cfg.lambda_)
     _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
+    @_hw_rcp_kernel
     def kernel(seed_ref, x0_ref, u_n_ref, *rest):
         if use_prng:
             m_ref, s_ref, uw_ref, v_buf, ms_acc = rest
@@ -503,6 +521,7 @@ def _make_chain_kernel(
     inv_lambda = np.float32(1.0 / cfg.lambda_)
     _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
+    @_hw_rcp_kernel
     def kernel(seed_ref, x0_ref, u_n0_ref, u0_ref, st_ref, un_ref, v_buf, u_n_s, x_s):
         j = pl.program_id(0)
 
