@@ -247,11 +247,12 @@ def mppi4_non_liner_ukf(args):
             xp = np_step(plant6, xp, float(u_n[i]), dt, 0.0)
         return xp
 
+    cp = getattr(args, "control_period", None)
     mr = MultiRateConfig(
         dt_phys=1e-3,
         sensor_period=9e-3,
         sensor_latency=0.0,
-        control_period=3e-3,
+        control_period=(None if cp == 0 else cp) if cp is not None else 3e-3,
         log_period=30e-3,
         t_end=args.t_end,
         disturbance=pulse_disturbance(1.0, 1.5, 2.0),

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fleet plant/estimator stack")
     ap.add_argument("--sqrt-method", choices=["eigh", "jacobi", "cholesky"], default=None,
                     help="override the fleet UKF sigma-root (default: per-model choice)")
+    ap.add_argument("--control-period", type=float, default=None,
+                    help="controller period [s] for the multirate loops; 0 = free-running "
+                         "(tick every phys step, the reference's unthrottled control thread). "
+                         "The reference's effective rate is its solve latency: K=5e5 at its "
+                         "64 M steps/s CPU baseline is ~16 Hz (BASELINE.md)")
     return ap
 
 
