@@ -74,7 +74,10 @@ def main():
 
     def make_chain(cfg, n_solves, fast):
         """Whole receding-horizon chain in ONE kernel call (scalar-seed
-        mode): per-solve dispatch/finalize glue is zero by construction."""
+        mode): per-solve dispatch/finalize glue is zero by construction.
+        The fast config pairs polynomial transcendentals in the dynamics
+        with the transcendental-free CLT4 noise generator (sampling was
+        76% of kernel time with Box-Muller — scripts/diag_kernel_mix.py)."""
         dyn = step_fast if fast else step
 
         @jax.jit
@@ -82,6 +85,7 @@ def main():
             u0s, sts, _ = mppi_pallas_chain(
                 cfg, dyn, costs.shaped4, 4, None, x, u_n,
                 fast=fast, n_solves=n_solves, base_seed=seed,
+                sampler="clt4" if fast else "box-muller",
             )
             return jnp.sum(u0s) + jnp.sum(sts)
 
@@ -158,7 +162,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_10k / baseline_10k, 2),
         "hardware": str(jax.devices()[0]),
-        "kernel": "pallas-fused-chain(fastmath)" if on_tpu else "vmap-reference(cpu-fallback)",
+        "kernel": "pallas-fused-chain(fastmath+clt4)" if on_tpu else "vmap-reference(cpu-fallback)",
         "k10240_us_per_solve": round(results[10240]["us_per_solve"], 2),
         "k10240_us_per_solve_exact": round(results[10240]["us_per_solve_exact"], 2),
         "k819200_us_per_solve": round(results[819200]["us_per_solve"], 2),

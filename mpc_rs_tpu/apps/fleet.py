@@ -45,7 +45,8 @@ from mpc_rs_tpu.utils import as_vector_fn
 
 def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False,
-                fast_math: bool = True, sqrt_method: str | None = None):
+                fast_math: bool = True, sqrt_method: str | None = None,
+                sampler: str | None = None):
     # fast_math applies to the cartpole4 controller rollouts only (survival
     # 1.000 with or without); the flagship is pinned exact (see below)
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
@@ -104,6 +105,9 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             n_state=4, state_slice=(0, 1, 3, 4),
             n_substeps=1, dt_tick=dt, ukf_p_reset=p0,
             feed_true_state=feed_true_state,
+            # flagship noise stays exact Box-Muller unless overridden (this
+            # fleet sits near a stability cliff — see the fast-math note)
+            sampler=sampler or "box-muller",
             disturbance=lambda t: jnp.where(
                 (t > 1.0) & (t < 1.5), jnp.float32(2.0), jnp.float32(0.0)
             ),
@@ -132,6 +136,9 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             backend="pallas" if backend == "pallas" else "jnp", n_state=4,
             n_substeps=n_substeps, dt_tick=dt, ukf_p_reset=p0,
             feed_true_state=feed_true_state, fast_math=fast_math,
+            # transcendental-free CLT4 exploration noise: +33% kernel
+            # throughput, survival revalidated 1.000 (see BENCH/STATUS)
+            sampler=sampler or ("clt4" if fast_math else "box-muller"),
         )
         theta_idx, guard = 2, math.radians(60.0)
 
@@ -225,6 +232,7 @@ def fleet(args):
     tick, carry, dt, theta_idx, guard = build_fleet(
         args.model, args.k, backend, mesh, seed=args.seed, scenarios=b,
         sqrt_method=getattr(args, "sqrt_method", None),
+        sampler=getattr(args, "sampler", None),
     )
     ckpt_path = os.path.join(args.log_dir, "fleet", "fleet.npz")
     if args.resume:

@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fleet plant/estimator stack")
     ap.add_argument("--sqrt-method", choices=["eigh", "jacobi", "cholesky"], default=None,
                     help="override the fleet UKF sigma-root (default: per-model choice)")
+    ap.add_argument("--sampler", choices=["box-muller", "clt4", "clt2q"], default=None,
+                    help="override the fleet MPPI kernel noise generator "
+                         "(default: per-model choice — clt4 for cartpole4, exact for flagship6)")
     ap.add_argument("--control-period", type=float, default=None,
                     help="controller period [s] for the multirate loops; 0 = free-running "
                          "(tick every phys step, the reference's unthrottled control thread). "

@@ -91,6 +91,85 @@ def _sampling_math(fast: bool):
     return jnp.log, jnp.sqrt, jnp.sin, jnp.cos
 
 
+# CLT4x8 sampler constants: z_raw = (Σ four 8-bit uniforms − 510)/σ₄ has
+# var 1, kurtosis 2.70; the cubic z·(A + B·z²) moment-matches var=1 and
+# kurtosis=3 exactly (offline fit over 2²⁴ words: KS 0.0034 vs normal,
+# P(|z|>3) = 0.0024 vs 0.0027 exact, support extends to ±3.99σ).
+_CLT_INV_SIG = 1.0 / math.sqrt(4 * (256**2 - 1) / 12.0)
+_CLT_A = 0.949188
+_CLT_B = 0.018629
+
+# CLT2Q sampler constants: TWO normals per PRNG word (16-bit halves, each
+# the sum of two 8-bit uniforms = triangular), quintic z·(A + z²(B + C·z²))
+# matching var=1, kurtosis=3 AND the 6th moment (=15). KS 0.0099,
+# P(|z|>3) = 0.0032 vs 0.0027 exact, support ±3.50σ; monotonic on the
+# triangular support (derivative ≥ 0.85 everywhere).
+_TRI_INV_SIG = 1.0 / math.sqrt(2 * (256**2 - 1) / 12.0)
+_TRI_A = 1.019453
+_TRI_B = -0.103499
+_TRI_C = 0.029151
+
+SAMPLERS = ("box-muller", "clt4", "clt2q")
+
+
+def _fill_vbuf(v_buf, get_u, n, shape, std_dev, lo, hi, fast, sampler):
+    """Sample-and-clamp perturbed controls into the noise buffer
+    (src/mppi.rs:38-45). Must be preceded by ``pltpu.prng_seed``.
+
+    ``sampler="box-muller"``: exact normals — paired Box-Muller, one
+    (log, sqrt) radius feeding both cos/sin branches (2 normals per draw;
+    the VPU is transcendental-bound here, not FLOP-bound).
+
+    ``sampler="clt4"``: approximate normals with NO transcendentals — sum
+    of four 8-bit uniforms carved from ONE hardware PRNG word per normal
+    (two pairwise in-register adds), then the cubic tail correction above.
+    Measured on v5e at K=819200: sampling falls from 76% to ~50% of kernel
+    time (31 → 41+ G steps/s). Exploration-noise grade: mean/var/kurtosis
+    match the exact normal; the tail is truncated at 3.99σ.
+    """
+    if sampler == "clt4":
+        inv_sig = np.float32(_CLT_INV_SIG)
+        ca = np.float32(_CLT_A * std_dev)
+        cb = np.float32(_CLT_B * std_dev)
+        for t in range(n):
+            w = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            x2 = (w & np.uint32(0x00FF00FF)) + ((w >> 8) & np.uint32(0x00FF00FF))
+            s4 = (x2 & np.uint32(0xFFFF)) + (x2 >> 16)
+            z = (pltpu.bitcast(s4, jnp.int32).astype(jnp.float32) - 510.0) * inv_sig
+            v_buf[t] = jnp.clip(get_u(t) + z * (ca + cb * (z * z)), lo, hi)
+    elif sampler == "clt2q":
+        inv_t = np.float32(_TRI_INV_SIG)
+        qa = np.float32(_TRI_A * std_dev)
+        qb = np.float32(_TRI_B * std_dev)
+        qc = np.float32(_TRI_C * std_dev)
+        for t0 in range(0, n, 2):
+            w = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            x2 = (w & np.uint32(0x00FF00FF)) + ((w >> 8) & np.uint32(0x00FF00FF))
+            z1 = (pltpu.bitcast(x2 & np.uint32(0xFFFF), jnp.int32).astype(jnp.float32) - 255.0) * inv_t
+            s1 = z1 * z1
+            v_buf[t0] = jnp.clip(get_u(t0) + z1 * (qa + s1 * (qb + qc * s1)), lo, hi)
+            if t0 + 1 < n:
+                z2 = (pltpu.bitcast(x2 >> 16, jnp.int32).astype(jnp.float32) - 255.0) * inv_t
+                s2 = z2 * z2
+                v_buf[t0 + 1] = jnp.clip(get_u(t0 + 1) + z2 * (qa + s2 * (qb + qc * s2)), lo, hi)
+    elif sampler == "box-muller":
+        _log, _sqrt, _sin, _cos = _sampling_math(fast)
+        for t0 in range(0, n, 2):
+            bits = pltpu.prng_random_bits((2,) + shape)
+            u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+            u2 = pltpu.bitcast(
+                (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                jnp.float32,
+            ) - 1.0  # [0,1) is fine for the angle
+            r = std_dev * _sqrt(-2.0 * _log(u1))
+            ang = _TWO_PI * u2
+            v_buf[t0] = jnp.clip(get_u(t0) + r * _cos(ang), lo, hi)
+            if t0 + 1 < n:
+                v_buf[t0 + 1] = jnp.clip(get_u(t0 + 1) + r * _sin(ang), lo, hi)
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}; expected one of {SAMPLERS}")
+
+
 def _make_kernel(
     dynamics: Callable,
     cost: Callable,
@@ -100,6 +179,7 @@ def _make_kernel(
     use_prng: bool,
     k_total: int,
     fast: bool = False,
+    sampler: str = "box-muller",
 ):
     n = cfg.n_horizon
     bs = block_sublanes
@@ -107,7 +187,6 @@ def _make_kernel(
     lo, hi = cfg.limit
     neg_big = np.float32(-3.4e38)
     bk = bs * _LANES
-    _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
     @_hw_rcp_kernel
     def kernel(seed_ref, x0_ref, u_n_ref, *rest):
@@ -128,21 +207,10 @@ def _make_kernel(
 
         # --- sample & clamp (src/mppi.rs:38-45), stored for the weighted avg
         if use_prng:
-            # paired Box-Muller: one (log, sqrt) feeds BOTH cos and sin
-            # branches → 2 normals per radius draw (fewer transcendentals;
-            # the VPU is transcendental-bound here, not FLOP-bound)
-            for t0 in range(0, n, 2):
-                bits = pltpu.prng_random_bits((2, bs, _LANES))
-                u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
-                u2 = pltpu.bitcast(
-                    (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
-                    jnp.float32,
-                ) - 1.0  # [0,1) is fine for the angle
-                r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
-                ang = _TWO_PI * u2
-                v_buf[t0] = jnp.clip(u_n_ref[t0, 0] + r * _cos(ang), lo, hi)
-                if t0 + 1 < n:
-                    v_buf[t0 + 1] = jnp.clip(u_n_ref[t0 + 1, 0] + r * _sin(ang), lo, hi)
+            _fill_vbuf(
+                v_buf, lambda t: u_n_ref[t, 0], n, (bs, _LANES),
+                cfg.std_dev, lo, hi, fast, sampler,
+            )
         else:
             for t in range(n):
                 v_buf[t] = jnp.clip(u_n_ref[t, 0] + eps_ref[0, t], lo, hi)
@@ -205,6 +273,7 @@ def mppi_pallas_partials(
     interpret: bool = False,
     noise: jax.Array | None = None,
     fast: bool = False,
+    sampler: str = "box-muller",
 ) -> MppiPartials:
     """Run the fused kernel over ``n_rollouts`` (default cfg.n_rollouts).
 
@@ -225,7 +294,10 @@ def mppi_pallas_partials(
     n = cfg.n_horizon
     use_prng = noise is None
 
-    kernel = _make_kernel(dynamics, cost, cfg, n_state, block_sublanes, use_prng, k, fast=fast)
+    kernel = _make_kernel(
+        dynamics, cost, cfg, n_state, block_sublanes, use_prng, k,
+        fast=fast, sampler=sampler,
+    )
     in_specs = []
     inputs = []
     if not use_prng:
@@ -276,6 +348,7 @@ def _make_batched_kernel(
     k_total: int,
     use_prng: bool,
     fast: bool = False,
+    sampler: str = "box-muller",
 ):
     """Scenario-batched variant: grid (B, num_k_blocks), k innermost so the
     per-scenario streaming accumulators in the output refs are written by
@@ -286,7 +359,6 @@ def _make_batched_kernel(
     lo, hi = cfg.limit
     neg_big = np.float32(-3.4e38)
     inv_lambda = np.float32(1.0 / cfg.lambda_)
-    _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
     @_hw_rcp_kernel
     def kernel(seed_ref, x0_ref, u_n_ref, *rest):
@@ -312,18 +384,10 @@ def _make_batched_kernel(
         if use_prng:
             # hardware seed takes at most 2 values; fold (scenario, block)
             pltpu.prng_seed(seed_ref[b], b * jnp.int32(100003) + i)
-            for t0 in range(0, n, 2):
-                bits = pltpu.prng_random_bits((2, bs, _LANES))
-                u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
-                u2 = pltpu.bitcast(
-                    (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
-                    jnp.float32,
-                ) - 1.0
-                r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
-                ang = _TWO_PI * u2
-                v_buf[t0] = jnp.clip(u_n_ref[row, t0] + r * _cos(ang), lo, hi)
-                if t0 + 1 < n:
-                    v_buf[t0 + 1] = jnp.clip(u_n_ref[row, t0 + 1] + r * _sin(ang), lo, hi)
+            _fill_vbuf(
+                v_buf, lambda t: u_n_ref[row, t], n, (bs, _LANES),
+                cfg.std_dev, lo, hi, fast, sampler,
+            )
         else:
             for t in range(n):
                 v_buf[t] = jnp.clip(u_n_ref[row, t] + eps_ref[0, 0, t], lo, hi)
@@ -375,6 +439,7 @@ def mppi_pallas_batch_partials(
     interpret: bool = False,
     noise: jax.Array | None = None,
     fast: bool = False,
+    sampler: str = "box-muller",
 ) -> MppiPartials:
     """Fused kernel over a scenario batch: every scenario gets its own
     cfg.n_rollouts samples from its own state/nominal/seed. Returns
@@ -394,7 +459,10 @@ def mppi_pallas_batch_partials(
 
     if b % 8:
         raise ValueError(f"scenario batch {b} must be a multiple of 8")
-    kernel = _make_batched_kernel(dynamics, cost, cfg, n_state, block_sublanes, k, use_prng, fast=fast)
+    kernel = _make_batched_kernel(
+        dynamics, cost, cfg, n_state, block_sublanes, k, use_prng,
+        fast=fast, sampler=sampler,
+    )
     row_block = pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM)
     in_specs = [row_block, row_block]  # x0 (B,128) lane-padded, u_n (B,128)
     extra_inputs = []
@@ -478,6 +546,7 @@ def mppi_solve_pallas(
     interpret: bool = False,
     noise: jax.Array | None = None,
     fast: bool = False,
+    sampler: str = "box-muller",
 ):
     """Full single-chip MPPI solve via the fused kernel.
 
@@ -486,7 +555,8 @@ def mppi_solve_pallas(
     """
     parts = mppi_pallas_partials(
         cfg, dynamics, cost, n_state, seed, x, u_n,
-        block_sublanes=block_sublanes, interpret=interpret, noise=noise, fast=fast,
+        block_sublanes=block_sublanes, interpret=interpret, noise=noise,
+        fast=fast, sampler=sampler,
     )
     return finalize_partials(cfg, parts, u_n)
 
@@ -503,6 +573,7 @@ def _make_chain_kernel(
     j_real: int,
     per_solve_seeds: bool,
     num_blocks: int,
+    sampler: str = "box-muller",
 ):
     """Multi-solve receding-horizon chain: 1-D grid over solves, K-blocks
     streamed by an IN-KERNEL fori_loop with the (m, s, uw) log-sum-exp
@@ -519,7 +590,6 @@ def _make_chain_kernel(
     lo, hi = cfg.limit
     neg_big = np.float32(-3.4e38)
     inv_lambda = np.float32(1.0 / cfg.lambda_)
-    _log, _sqrt, _sin, _cos = _sampling_math(fast)
 
     @_hw_rcp_kernel
     def kernel(seed_ref, x0_ref, u_n0_ref, u0_ref, st_ref, un_ref, v_buf, u_n_s, x_s):
@@ -541,18 +611,10 @@ def _make_chain_kernel(
                 # the scenario-batched kernel; no J-sized prefetch array
                 pltpu.prng_seed(seed_ref[0], j * jnp.int32(100003) + i)
 
-            for t0 in range(0, n, 2):
-                bits = pltpu.prng_random_bits((2, bs, _LANES))
-                u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
-                u2 = pltpu.bitcast(
-                    (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
-                    jnp.float32,
-                ) - 1.0
-                r = cfg.std_dev * _sqrt(-2.0 * _log(u1))
-                ang = _TWO_PI * u2
-                v_buf[t0] = jnp.clip(u_n_s[t0] + r * _cos(ang), lo, hi)
-                if t0 + 1 < n:
-                    v_buf[t0 + 1] = jnp.clip(u_n_s[t0 + 1] + r * _sin(ang), lo, hi)
+            _fill_vbuf(
+                v_buf, lambda t: u_n_s[t], n, (bs, _LANES),
+                cfg.std_dev, lo, hi, fast, sampler,
+            )
 
             xs = tuple(
                 jnp.full((bs, _LANES), x_s[c_], dtype=jnp.float32) for c_ in range(n_state)
@@ -643,6 +705,7 @@ def mppi_pallas_chain(
     interpret: bool = False,
     n_solves: int | None = None,
     base_seed: jax.Array | int = 0,
+    sampler: str = "box-muller",
 ):
     """J receding-horizon MPPI solves in ONE fused kernel call.
 
@@ -677,7 +740,7 @@ def mppi_pallas_chain(
 
     kernel = _make_chain_kernel(
         dynamics, cost, cfg, n_state, block_sublanes, k, fast, plant, j,
-        per_solve_seeds, num_blocks,
+        per_solve_seeds, num_blocks, sampler=sampler,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # seeds, x0, u_n0

@@ -68,6 +68,7 @@ def make_scenario_step(
     ukf_p_reset=None,  # enables per-instance NaN recovery (ukf_guard)
     pallas_interpret: bool = False,  # run the batched kernel interpreted (CPU dryrun)
     fast_math: bool = False,  # polynomial transcendentals in the MPPI kernel sampling
+    sampler: str = "box-muller",  # in-kernel noise generator (ops.mppi_pallas.SAMPLERS)
 ):
     """Returns jitted ``step(carry) -> carry`` advancing every scenario one
     control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
@@ -122,7 +123,7 @@ def make_scenario_step(
             )(k_mppi)
             parts = mppi_pallas_batch_partials(
                 cfg, dynamics, cost, ns, seeds, x_hats, carry.u_n, n_rollouts=k_local,
-                interpret=pallas_interpret, fast=fast_math,
+                interpret=pallas_interpret, fast=fast_math, sampler=sampler,
             )
         else:
             parts = jax.vmap(

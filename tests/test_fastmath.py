@@ -125,3 +125,61 @@ def test_fdiv_hw_rcp_in_kernel(rng):
     )(den)
     rel = np.abs(np.asarray(out) * np.asarray(den, np.float64) - 1.0)
     assert rel.max() < (5e-3 if interpret else 3e-5)
+
+
+def _clt4_transform(w, std_dev=1.0):
+    """NumPy mirror of the kernel's clt4 sampler math (mppi_pallas._fill_vbuf):
+    sum of four 8-bit uniforms from one word + cubic tail correction."""
+    from mpc_rs_tpu.ops import mppi_pallas as mp
+
+    x2 = (w & 0x00FF00FF) + ((w >> 8) & 0x00FF00FF)
+    s4 = ((x2 & 0xFFFF) + (x2 >> 16)).astype(np.float64)
+    z = (s4 - 510.0) * mp._CLT_INV_SIG
+    return z * (mp._CLT_A * std_dev + mp._CLT_B * std_dev * z * z)
+
+
+def _clt2q_transform(w, std_dev=1.0):
+    """NumPy mirror of the kernel's clt2q sampler (two normals per word)."""
+    from mpc_rs_tpu.ops import mppi_pallas as mp
+
+    x2 = (w & 0x00FF00FF) + ((w >> 8) & 0x00FF00FF)
+    z = np.concatenate([
+        ((x2 & 0xFFFF).astype(np.float64) - 255.0) * mp._TRI_INV_SIG,
+        ((x2 >> 16).astype(np.float64) - 255.0) * mp._TRI_INV_SIG,
+    ])
+    s = z * z
+    return z * (mp._TRI_A * std_dev + s * (mp._TRI_B * std_dev + mp._TRI_C * std_dev * s))
+
+
+@pytest.mark.parametrize("transform,ks_budget", [(_clt4_transform, 0.005), (_clt2q_transform, 0.012)])
+def test_clt_sampler_distribution(transform, ks_budget):
+    """The CLT samplers' transforms produce (approximately) standard normals:
+    mean/var/kurtosis moment-matched, KS distance within the documented
+    budget, tails within 20% of exact normal mass beyond 2σ. The transform
+    is pure integer/poly math — bit-identical between this NumPy mirror and
+    the Mosaic kernel — so the TPU-side property reduces to the hardware
+    PRNG's word uniformity (covered by test_kernel_prng_statistics_tpu)."""
+    rng = np.random.default_rng(7)
+    w = rng.integers(0, 1 << 32, size=1 << 22, dtype=np.uint32)
+    z = transform(w)
+    assert abs(z.mean()) < 5e-3
+    assert abs(z.var() - 1.0) < 5e-3
+    kurt = ((z - z.mean()) ** 4).mean() / z.var() ** 2
+    assert abs(kurt - 3.0) < 0.02
+    # empirical KS vs the normal CDF (scipy-free: direct sup |F̂ − Φ|)
+    zs = np.sort(z[: 1 << 20])
+    from math import erf, sqrt
+
+    grid = np.linspace(-3.5, 3.5, 141)
+    phi = np.array([0.5 * (1 + erf(g / sqrt(2))) for g in grid])
+    fhat = np.searchsorted(zs, grid) / len(zs)
+    assert np.abs(fhat - phi).max() < ks_budget
+    p2 = (np.abs(z) > 2.0).mean()
+    assert 0.8 * 0.0455 < p2 < 1.2 * 0.0455
+
+
+def test_clt_sampler_scales_by_std_dev():
+    rng = np.random.default_rng(3)
+    w = rng.integers(0, 1 << 32, size=1 << 20, dtype=np.uint32)
+    z3 = _clt4_transform(w, std_dev=3.0)
+    assert abs(z3.std() - 3.0) < 0.02
