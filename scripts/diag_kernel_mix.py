@@ -75,6 +75,22 @@ def make_chain(cfg, dyn, cost, n_state, k, bs, n_solves, mode):
                     z = (pltpu.bitcast(s4, jnp.int32).astype(jnp.float32) - 510.0) * inv_sig
                     z = z * (ca + cb * (z * z))
                     v_buf[t] = jnp.clip(u_n_s[t] + z, lo, hi)
+            elif mode == "cltbig":
+                # clt4 with sampling vectorized over the WHOLE horizon:
+                # one (n, bs, 128) bits call, byte-sum/cvt/cubic on the big
+                # array (tests whether bulk ops schedule better than 8
+                # per-timestep sweeps)
+                pltpu.prng_seed(seed_ref[0], j * jnp.int32(100003) + i)
+                inv_sig = np.float32(1.0 / math.sqrt(4 * (256**2 - 1) / 12.0))
+                ca = np.float32(0.949188 * cfg.std_dev)
+                cb = np.float32(0.018629 * cfg.std_dev)
+                w = pltpu.bitcast(pltpu.prng_random_bits((n, bs, _LANES)), jnp.uint32)
+                x2 = (w & np.uint32(0x00FF00FF)) + ((w >> 8) & np.uint32(0x00FF00FF))
+                s4 = (x2 & np.uint32(0xFFFF)) + (x2 >> 16)
+                z = (pltpu.bitcast(s4, jnp.int32).astype(jnp.float32) - 510.0) * inv_sig
+                z = z * (ca + cb * (z * z))
+                for t in range(n):
+                    v_buf[t] = jnp.clip(u_n_s[t] + z[t], lo, hi)
             elif mode == "cltf":
                 # clt4 with NO int->float convert: each byte becomes a
                 # [1,2) float via mantissa bitcast (shift/and/or only)

@@ -261,3 +261,30 @@ def test_batched_kernel_exact_parity_same_noise():
         w = np.exp((sc - sc.max()) / 2.5)
         want = (w / w.sum()) @ v
         np.testing.assert_allclose(np.array(u[s_i]), want, rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("sampler", ["clt4", "clt2q"])
+def test_batched_kernel_clt_sampler_interpret(sampler):
+    """CLT samplers through the batched kernel (interpret): the zero-stub
+    PRNG makes every sample the deterministic transform of w=0, so the
+    uniform-weight average must equal clip(u_n + z(0)) — an exact
+    end-to-end check that the in-kernel integer math matches the NumPy
+    mirror pinned by tests/test_fastmath.py::test_clt_sampler_distribution."""
+    from tests.test_fastmath import _clt2q_transform, _clt4_transform
+
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
+
+    step = dynamics.make_double_integrator(0.05)
+    b, k, sd = 8, 2048, 1.7
+    cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=2.5, std_dev=sd, limit=(-9.0, 9.0))
+    u_ns = jnp.tile(jnp.linspace(-2.0, 2.0, 8, dtype=jnp.float32), (b, 1))
+    xs = jnp.zeros((b, 2), jnp.float32)
+    u, st = mppi_solve_pallas_batch(
+        cfg, step, costs.quad2, 2, jnp.arange(b, dtype=jnp.int32), xs, u_ns,
+        interpret=True, block_sublanes=8, sampler=sampler,
+    )
+    assert (np.array(st) == 0).all()
+    w0 = np.zeros(1, np.uint32)
+    z0 = _clt4_transform(w0, sd) if sampler == "clt4" else _clt2q_transform(w0, sd)[:1]
+    expect = np.clip(np.array(u_ns) + z0[0], -9.0, 9.0)
+    np.testing.assert_allclose(np.array(u), expect, rtol=1e-5, atol=1e-5)
