@@ -414,13 +414,95 @@ def _make_batched_kernel(
         e = jnp.where(finite, jnp.exp((score - m_new) * inv_lambda), 0.0)
         ms_acc[1] = ms_acc[1] * scale + jnp.sum(e)
         ms_acc[0] = m_new
-        for t in range(n):
-            uw_ref[0, t, :] = uw_ref[0, t, :] * scale + jnp.sum(e * v_buf[t], axis=0)
+        # one vectorized (1, n, 128) read-modify-write instead of n row updates
+        partial = jnp.stack([jnp.sum(e * v_buf[t], axis=0) for t in range(n)], axis=0)
+        uw_ref[...] = uw_ref[...] * scale + partial[None]
 
         @pl.when(i == n_i - 1)
         def _finalize():
             m_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), ms_acc[0], jnp.float32)
             s_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), ms_acc[1], jnp.float32)
+
+    return kernel
+
+
+def _make_fleet_kernel(
+    dynamics: Callable,
+    cost: Callable,
+    cfg: MppiConfig,
+    n_state: int,
+    block_sublanes: int,
+    k_total: int,
+    use_prng: bool,
+    fast: bool = False,
+    sampler: str = "box-muller",
+):
+    """Scenario-batched variant for the fleet shape (each scenario's K fits
+    ONE (bs, 128) block): EIGHT scenarios unrolled per grid step.
+
+    The general batched kernel pays per-grid-step machinery (accumulator
+    init, block dispatch, masked finalize writes) once per scenario — at
+    the fleet operating points that overhead dominates: the flagship tick
+    split (scripts/diag_flagship_tick.py) measured its B=256 × one-block
+    MPPI at 12.3 G steps/s vs the chain kernel's 19.5 exact. Unrolling 8
+    scenarios per grid step (matching the (8, 128) row-block layout the
+    refs already use) amortizes it 8×, and x0/u_n ride in scalar-prefetch
+    SMEM (transposed B-minor) — the general kernel's per-scenario VMEM scalar extracts
+    (~20 × load-tile-and-extract per scenario) are what kept it at
+    12.3 G steps/s vs the chain kernel's 19.5 (SMEM-carried scalars).
+    The per-scenario PRNG stream is bit-identical to the general
+    kernel's (same seed fold, i=0), so dispatching between the two
+    kernels never changes sampled noise."""
+    n = cfg.n_horizon
+    bs = block_sublanes
+    inv = cfg.std_dev ** -2.0 if cfg.control_inv is None else cfg.control_inv
+    lo, hi = cfg.limit
+    neg_big = np.float32(-3.4e38)
+    inv_lambda = np.float32(1.0 / cfg.lambda_)
+
+    @_hw_rcp_kernel
+    def kernel(seed_ref, x0s_ref, uns_ref, *rest):
+        if use_prng:
+            m_ref, s_ref, uw_ref, v_buf = rest
+        else:
+            eps_ref, m_ref, s_ref, uw_ref, v_buf = rest
+        bb = pl.program_id(0)
+
+        for row in range(8):
+            b = bb * 8 + row
+            if use_prng:
+                pltpu.prng_seed(seed_ref[b], b * jnp.int32(100003))
+                _fill_vbuf(
+                    v_buf, lambda t, b=b: uns_ref[t, b], n, (bs, _LANES),
+                    cfg.std_dev, lo, hi, fast, sampler,
+                )
+            else:
+                for t in range(n):
+                    v_buf[t] = jnp.clip(uns_ref[t, b] + eps_ref[row, 0, t], lo, hi)
+
+            xs = tuple(
+                jnp.full((bs, _LANES), x0s_ref[j, b], dtype=jnp.float32)
+                for j in range(n_state)
+            )
+            c = jnp.zeros((bs, _LANES), jnp.float32)
+            ct = jnp.zeros((bs, _LANES), jnp.float32)
+            for t in range(n):
+                v_t = v_buf[t]
+                xs = dynamics(*xs, v_t)
+                c = c + cost(*xs)
+                ct = ct + uns_ref[t, b] * inv * v_t
+            score = -c - ct
+
+            finite = jnp.isfinite(score)
+            if k_total % (bs * _LANES):
+                finite = jnp.logical_and(finite, _rollout_index(0, bs) < k_total)
+            m = jnp.max(jnp.where(finite, score, neg_big))
+            e = jnp.where(finite, jnp.exp((score - m) * inv_lambda), 0.0)
+            s = jnp.sum(e)
+            partial = jnp.stack([jnp.sum(e * v_buf[t], axis=0) for t in range(n)], axis=0)
+            m_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), m, jnp.float32)
+            s_ref[pl.ds(row, 1), :] = jnp.full((1, _LANES), s, jnp.float32)
+            uw_ref[row] = partial
 
     return kernel
 
@@ -459,39 +541,87 @@ def mppi_pallas_batch_partials(
 
     if b % 8:
         raise ValueError(f"scenario batch {b} must be a multiple of 8")
-    kernel = _make_batched_kernel(
-        dynamics, cost, cfg, n_state, block_sublanes, k, use_prng,
-        fast=fast, sampler=sampler,
-    )
-    row_block = pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM)
-    in_specs = [row_block, row_block]  # x0 (B,128) lane-padded, u_n (B,128)
-    extra_inputs = []
     if not use_prng:
         assert noise.shape == (b, num_blocks, n, block_sublanes, _LANES), noise.shape
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, n, block_sublanes, _LANES),
-                lambda bb, i, *_: (bb, i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
+    extra_inputs = [] if use_prng else [jnp.asarray(noise, jnp.float32)]
+    if num_blocks == 1:
+        # fleet shape: K fits one block — 8 scenarios per grid step, with
+        # x0/u_n in scalar-prefetch SMEM (cheap scalar reads; ~60 KB at
+        # B=1024 — well under the scalar-memory budget at fleet sizes)
+        kernel = _make_fleet_kernel(
+            dynamics, cost, cfg, n_state, block_sublanes, k, use_prng,
+            fast=fast, sampler=sampler,
         )
-        extra_inputs.append(jnp.asarray(noise, jnp.float32))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # seeds only (SMEM is too small for B-sized x0/u_n)
-        grid=(b, num_blocks),
-        in_specs=in_specs,
-        out_specs=[
-            # (8,128) row blocks: 8 consecutive scenarios share a block and
-            # are fully written before the grid leaves it (k is innermost)
-            pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, _LANES), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n, block_sublanes, _LANES), jnp.float32),
-            pltpu.SMEM((2,), jnp.float32),
-        ],
-    )
+        row_block8 = pl.BlockSpec((8, _LANES), lambda bb, *_: (bb, 0), memory_space=pltpu.VMEM)
+        in_specs = []
+        if not use_prng:
+            in_specs.append(
+                pl.BlockSpec(
+                    (8, 1, n, block_sublanes, _LANES),
+                    lambda bb, *_: (bb, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # seeds, x0 (S,B), u_n (N,B) — all SMEM,
+            # B-minor so SMEM row padding stays O(rows) not O(B) (the 1 MB
+            # smem cap is real: B-major OOMed at B=1024)
+            grid=(b // 8,),
+            in_specs=in_specs,
+            out_specs=[
+                row_block8,
+                row_block8,
+                pl.BlockSpec((8, n, _LANES), lambda bb, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((n, block_sublanes, _LANES), jnp.float32)],
+        )
+        m, s, uw = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((b, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((b, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((b, n, _LANES), jnp.float32),
+            ],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            jnp.asarray(seeds, jnp.int32).reshape(b),
+            jnp.asarray(xs, jnp.float32).T,
+            jnp.asarray(u_ns, jnp.float32).T,
+            *extra_inputs,
+        )
+        return MppiPartials(m=m[:, 0], s=s[:, 0], uw=jnp.sum(uw, axis=-1))
+    else:
+        kernel = _make_batched_kernel(
+            dynamics, cost, cfg, n_state, block_sublanes, k, use_prng,
+            fast=fast, sampler=sampler,
+        )
+        row_block = pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM)
+        in_specs = [row_block, row_block]  # x0 (B,128) lane-padded, u_n (B,128)
+        if not use_prng:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, n, block_sublanes, _LANES),
+                    lambda bb, i, *_: (bb, i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # seeds only (SMEM is too small for B-sized x0/u_n)
+            grid=(b, num_blocks),
+            in_specs=in_specs,
+            out_specs=[
+                # (8,128) row blocks: 8 consecutive scenarios share a block and
+                # are fully written before the grid leaves it (k is innermost)
+                pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, _LANES), lambda bb, i, *_: (bb // 8, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, _LANES), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n, block_sublanes, _LANES), jnp.float32),
+                pltpu.SMEM((2,), jnp.float32),
+            ],
+        )
     m, s, uw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -288,3 +288,36 @@ def test_batched_kernel_clt_sampler_interpret(sampler):
     z0 = _clt4_transform(w0, sd) if sampler == "clt4" else _clt2q_transform(w0, sd)[:1]
     expect = np.clip(np.array(u_ns) + z0[0], -9.0, 9.0)
     np.testing.assert_allclose(np.array(u), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_fleet_kernel_exact_parity_same_noise():
+    """Single-k-block (fleet-shape) batched kernel — the 8-scenarios-per-
+    grid-step unrolled variant — vs the vmap reference on identical noise,
+    including the exact-K mask with poisoned padding."""
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
+
+    step = dynamics.make_double_integrator(0.05)
+    b = 16
+    k_exact = BS * LANES - 300  # single block, partially used
+    cfg = MppiConfig(n_horizon=N, n_rollouts=k_exact, lambda_=2.5, std_dev=1.0, limit=(-3.0, 3.0))
+    eps = np.array(jax.random.normal(jax.random.key(5), (b, 1, N, BS, LANES), dtype=jnp.float32))
+    flat_idx = np.arange(BS * LANES).reshape(1, BS, LANES)
+    pad = flat_idx >= k_exact
+    for t in range(N):
+        eps[:, :, t][np.broadcast_to(pad, (b, 1, BS, LANES))] = 55.5  # poison
+    xs = np.stack([np.linspace(-1, 1, b), 0.1 * np.ones(b)], axis=-1).astype(np.float32)
+    u_ns = np.tile(np.linspace(-0.5, 0.5, N, dtype=np.float32), (b, 1))
+    u, st = mppi_solve_pallas_batch(
+        cfg, step, costs.quad2, 2, jnp.zeros(b, jnp.int32), jnp.asarray(xs),
+        jnp.asarray(u_ns), interpret=True, block_sublanes=BS, noise=jnp.asarray(eps),
+    )
+    assert (np.array(st) == 0).all()
+    for s_i in range(b):
+        eps_kn = eps[s_i].transpose(0, 2, 3, 1).reshape(-1, N)[:k_exact]
+        v = np.clip(u_ns[s_i] + eps_kn, -3.0, 3.0)
+        sc = np.array(rollout_scores(
+            step, costs.quad2, tuple(jnp.float64(c) for c in xs[s_i]),
+            jnp.asarray(v, jnp.float64), jnp.asarray(u_ns[s_i], jnp.float64), 1.0))
+        w = np.exp((sc - sc.max()) / 2.5)
+        want = (w / w.sum()) @ v
+        np.testing.assert_allclose(np.array(u[s_i]), want, rtol=1e-3, atol=5e-4)
