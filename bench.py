@@ -148,7 +148,9 @@ def main():
     if on_tpu:
         try:
             fleet = _bench_fleet("cartpole4", ticks=100)  # 5 s at 20 Hz
-            fl2 = _bench_fleet("flagship6", ticks=300, batch=256)  # 3 s at 100 Hz, covers the 2 N pulse
+            # B=1024 for survival resolution (1 tip = 0.001, not 0.004);
+            # matched-seed basis: clt4 4093/4096 vs exact 4094/4096
+            fl2 = _bench_fleet("flagship6", ticks=300, batch=1024)  # 3 s at 100 Hz, covers the 2 N pulse
             fleet.update({f"flagship_{k.split('fleet_')[-1]}": v for k, v in fl2.items()})
             fleet.update(_bench_qp_fleet())
         except Exception as e:  # fleet metric is auxiliary; never fail the bench

