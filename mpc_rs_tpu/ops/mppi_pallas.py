@@ -50,14 +50,16 @@ def _rollout_index(block_id, bs):
 
 
 def _default_block_sublanes(k: int) -> int:
-    """Measured-optimal block size (round-2 sweep, TPU v5e): one block when
-    K fits 256 sublanes (K ≤ 32768 — kills per-grid-step overhead entirely:
-    3.1 → 1 block at K=10240), else 64 sublanes (31.4 G steps/s at
-    K=819200 vs 20.1 at 512)."""
+    """Measured-optimal block size (round-2 sweeps, TPU v5e — SCALING_r2
+    tpu_single_chip[_clt4]): one block when K fits 256 sublanes (K ≤ 32768
+    — kills per-grid-step overhead entirely: 3.1 → 1 block at K=10240),
+    else 128 sublanes (uniformly ≥ 64 at K=819200 across exact/fast/clt4:
+    42.5 vs 41.3 G steps/s clt4, 29.9 vs 29.1 fast-BM, 19.4 vs 19.2
+    exact)."""
     bs_full = -(-k // _LANES)
     if bs_full <= 256:
         return max(8, -(-bs_full // 8) * 8)
-    return 64
+    return 128
 
 
 def _bits_to_unit_open(bits):

@@ -96,7 +96,7 @@ def run_tpu():
     x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32)
     u0 = jnp.zeros(8, jnp.float32)
 
-    def time_chain(k, j_short, j_long, fast, bs, reps=3):
+    def time_chain(k, j_short, j_long, fast, bs, reps=3, sampler="box-muller"):
         step = dynamics.make_cartpole_nonlinear(p, 0.1, fast=fast)
         cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=0.5, std_dev=3.0,
                          limit=(-20.0, 20.0))
@@ -107,6 +107,7 @@ def run_tpu():
                 u0s, sts, _ = mppi_pallas_chain(
                     cfg, step, costs.shaped4, 4, None, x, u_n,
                     fast=fast, n_solves=j, base_seed=seed, block_sublanes=bs,
+                    sampler=sampler,
                 )
                 return jnp.sum(u0s) + jnp.sum(sts)
             return run
@@ -138,12 +139,80 @@ def run_tpu():
     })
 
 
+def run_tpu_clt4():
+    """Round-2.3 addendum: block-size sweep for the clt4 sampler fast path
+    (the round-2 defaults in _default_block_sublanes were tuned under
+    Box-Muller; the op mix changed)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    jax.devices()
+    _repo_on_path()
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    import jax.numpy as jnp
+
+    from mpc_rs_tpu.controllers.mppi import MppiConfig
+    from mpc_rs_tpu.models import costs, dynamics
+    from mpc_rs_tpu.models.params import CartPoleParams
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_pallas_chain
+
+    import time as _t
+
+    p = CartPoleParams.single_wheel()
+    x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32)
+    u0 = jnp.zeros(8, jnp.float32)
+
+    def time_chain(k, js, jl, bs, reps=3):
+        step = dynamics.make_cartpole_nonlinear(p, 0.1, fast=True)
+        cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=0.5, std_dev=3.0,
+                         limit=(-20.0, 20.0))
+
+        def make(j):
+            @jax.jit
+            def run(x, u_n, seed):
+                u0s, sts, _ = mppi_pallas_chain(
+                    cfg, step, costs.shaped4, 4, None, x, u_n,
+                    fast=True, n_solves=j, base_seed=seed, block_sublanes=bs,
+                    sampler="clt4",
+                )
+                return jnp.sum(u0s) + jnp.sum(sts)
+            return run
+
+        short, long_ = make(js), make(jl)
+        float(short(x0, u0, jnp.int32(0))); float(long_(x0, u0, jnp.int32(0)))
+        ts, tl = [], []
+        for r in range(reps):
+            t0 = _t.perf_counter(); float(short(x0, u0, jnp.int32(3 * r + 1)))
+            ts.append(_t.perf_counter() - t0)
+            t0 = _t.perf_counter(); float(long_(x0, u0, jnp.int32(5 * r + 2)))
+            tl.append(_t.perf_counter() - t0)
+        sec = (min(tl) - min(ts)) / (jl - js)
+        return {"us_per_solve": round(sec * 1e6, 2),
+                "g_steps_per_s": round(k * 8 / sec / 1e9, 2)}
+
+    sweep = []
+    for k, (js, jl) in ((10240, (4000, 24000)), (819200, (100, 600))):
+        for bs in (40, 64, 128, 256):
+            r = time_chain(k, js, jl, bs)
+            r.update({"k": k, "block_sublanes": bs, "sampler": "clt4", "fast": True})
+            sweep.append(r)
+            print(r, flush=True)
+    merge("tpu_single_chip_clt4", {
+        "hardware": str(jax.devices()[0]),
+        "kernel": "mppi_pallas_chain, clt4 sampler fast path (round 2.3)",
+        "sweep": sweep,
+    })
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--tpu-clt4", action="store_true")
     a = ap.parse_args()
     if a.cpu:
         run_cpu()
     if a.tpu:
         run_tpu()
+    if a.tpu_clt4:
+        run_tpu_clt4()
