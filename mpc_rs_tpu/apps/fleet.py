@@ -43,10 +43,22 @@ from mpc_rs_tpu.runtime.checkpoint import load_pytree, save_pytree
 from mpc_rs_tpu.utils import as_vector_fn
 
 
+def _componentize_hx(hx_vec, n_obs):
+    """Adapter: vector-form hx -> component form for the SoA estimator.
+    The stack/slice pair is pure layout (fused away); hx internals already
+    slice components, so the math stays lane-dense on (B,) entries."""
+
+    def hx_c(xs):
+        z = hx_vec(jnp.stack(jnp.broadcast_arrays(*xs), axis=-1))
+        return tuple(z[..., j] for j in range(n_obs))
+
+    return hx_c
+
+
 def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False,
                 fast_math: bool | None = None, sqrt_method: str | None = None,
-                sampler: str | None = None):
+                sampler: str | None = None, ukf_layout: str = "soa"):
     # fast_math=None → per-model default: ON for both models (survival
     # validated per model at B=1024 over multiple seeds — see below).
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
@@ -116,6 +128,12 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             disturbance=lambda t: jnp.where(
                 (t > 1.0) & (t < 1.5), jnp.float32(2.0), jnp.float32(0.0)
             ),
+            # batch-minor estimator: the vmapped 6-state UKF was ~half the
+            # tick; SoA runs it lane-dense (estimators/ukf_soa.py)
+            ukf_layout=ukf_layout,
+            ukf_fx_c=lambda xs, u: tuple(jnp.broadcast_arrays(
+                *plant6(*xs, u, dt, 0.0))),
+            ukf_hx_c=_componentize_hx(hx, 5),
         )
         x0 = jnp.zeros(6, jnp.float32)
         theta_idx, guard = 3, math.pi / 2
@@ -145,6 +163,10 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             # transcendental-free CLT4 exploration noise: +33% kernel
             # throughput, survival revalidated 1.000 (see BENCH/STATUS)
             sampler=sampler or ("clt4" if fast_math else "box-muller"),
+            ukf_layout=ukf_layout,
+            ukf_fx_c=(lambda step_c: lambda xs, u: step_c(*xs, u))(
+                dynamics.make_cartpole_nonlinear(p, dt / n_substeps)),
+            ukf_hx_c=_componentize_hx(hx, 3),
         )
         theta_idx, guard = 2, math.radians(60.0)
 
@@ -240,6 +262,7 @@ def fleet(args):
         sqrt_method=getattr(args, "sqrt_method", None),
         sampler=getattr(args, "sampler", None),
         fast_math=getattr(args, "fast_math", None),
+        ukf_layout=getattr(args, "ukf_layout", None) or "soa",
     )
     ckpt_path = os.path.join(args.log_dir, "fleet", "fleet.npz")
     if args.resume:

@@ -79,6 +79,68 @@ def spd_solve_unrolled(a, b, jitter_rel: float = 0.0):
     return chol_solve_unrolled(chol_unrolled(a), b)
 
 
+def _jacobi_stacked_leading(a, v, n, sweeps: int = 4):
+    """Cyclic Jacobi on a symmetric matrix stored with the (n, n) pair as
+    the LEADING axes (arbitrary trailing batch dims — for the SoA fleet
+    layout the batch is minor, so every op is lane-dense).
+
+    Rows/columns are replaced by rebuilding with ``jnp.stack`` — NOT by
+    arithmetic masking (the masked whole-matrix update form miscompiled
+    under ``jit(vmap(...))`` on CPU XLA: two near-degenerate eigenvalues
+    collapsed toward their mean, recon error ~5e-2 while unjitted paths
+    were exact — tests/test_ukf.py::test_jacobi_jit_vmap_reconstructs),
+    and NOT entry-by-entry scalar lists (thousands of scalar nodes made
+    the XLA CPU pipeline take minutes to compile a fleet tick). ~20 array
+    ops per rotation keeps the trace small and the semantics explicit."""
+    for _ in range(sweeps):
+        for p_ in range(n - 1):
+            for q_ in range(p_ + 1, n):
+                app, aqq, apq = a[p_, p_], a[q_, q_], a[p_, q_]
+                small = jnp.abs(apq) < 1e-30
+                theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+                t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+                t = jnp.where(small, 0.0, t)
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s_ = t * c
+                rp, rq = a[p_], a[q_]
+                new_p, new_q = c * rp - s_ * rq, s_ * rp + c * rq
+                a = jnp.stack(
+                    [new_p if k == p_ else new_q if k == q_ else a[k] for k in range(n)]
+                )
+                cp, cq = a[:, p_], a[:, q_]
+                new_cp, new_cq = c * cp - s_ * cq, s_ * cp + c * cq
+                a = jnp.stack(
+                    [new_cp if k == p_ else new_cq if k == q_ else a[:, k] for k in range(n)],
+                    axis=1,
+                )
+                vp, vq = v[:, p_], v[:, q_]
+                new_vp, new_vq = c * vp - s_ * vq, s_ * vp + c * vq
+                v = jnp.stack(
+                    [new_vp if k == p_ else new_vq if k == q_ else v[:, k] for k in range(n)],
+                    axis=1,
+                )
+    return a, v
+
+
+def jacobi_entries(a, n, sweeps: int = 4):
+    """Unrolled cyclic Jacobi on a symmetric matrix given as an n×n nested
+    list of (batched) scalar arrays (the SoA fleet estimator's layout).
+    Returns (w: list n, v: list n×n — columns are eigenvectors).
+
+    Thin wrapper over :func:`_jacobi_stacked_leading`: entries are stacked
+    to a (n, n, batch...) array (batch stays minor → lane-dense), rotated,
+    and sliced back."""
+    a0 = jnp.stack([jnp.stack([a[i][j] for j in range(n)]) for i in range(n)])
+    eye_cols = [jnp.broadcast_to(
+        jnp.asarray(1.0 if i == j else 0.0, a0.dtype), a0.shape[2:]) for i in range(n)
+        for j in range(n)]
+    v0 = jnp.stack([jnp.stack(eye_cols[i * n:(i + 1) * n]) for i in range(n)])
+    a1, v1 = _jacobi_stacked_leading(a0, v0, n, sweeps)
+    w = [a1[i, i] for i in range(n)]
+    v = [[v1[i, j] for j in range(n)] for i in range(n)]
+    return w, v
+
+
 def eigh_jacobi_unrolled(s, sweeps: int = 4):
     """(eigenvalues (..., n), eigenvectors (..., n, n)) of symmetric s by
     ``sweeps`` unrolled cyclic Jacobi sweeps — batched, branch-free.
@@ -86,62 +148,19 @@ def eigh_jacobi_unrolled(s, sweeps: int = 4):
     ``jnp.linalg.eigh`` lowers to a generic QDWH iteration that dominates a
     vmapped UKF tick on TPU (measured: flagship fleet 1.4 → 2.7 ms/tick).
     For n ≤ 6 a fixed number of Jacobi sweeps reaches f32 accuracy with
-    n(n−1)/2·sweeps rotations of pure elementwise math that fuses into the
-    tick. Each rotation zeroes one off-diagonal pair; 4 sweeps drive the
-    off-diagonal mass below f32 roundoff for the well-conditioned-enough
-    covariances a guarded UKF produces (tests pin ~1e-6 reconstruction).
+    n(n−1)/2·sweeps rotations that fuse into the tick. Columns of the
+    returned v are eigenvectors: s ≈ v · diag(w) · vᵀ.
 
-    Columns of the returned v are eigenvectors: s ≈ v · diag(w) · vᵀ.
+    Implemented over :func:`_jacobi_stacked_leading` (see its docstring
+    for why the masked-matrix and scalar-entry forms were abandoned):
+    the (n, n) pair moves to the leading axes so the batch stays minor.
     """
     n = s.shape[-1]
-    a = jnp.asarray(s)
-    v = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
-    eye = jnp.eye(n, dtype=a.dtype)
-
-    for _ in range(sweeps):
-        for p in range(n - 1):
-            for q in range(p + 1, n):
-                app = a[..., p, p]
-                aqq = a[..., q, q]
-                apq = a[..., p, q]
-                # stable Jacobi angle: t = sign(θ)/(|θ|+√(θ²+1)),
-                # θ = (aqq−app)/(2 apq); guard apq≈0 → identity rotation
-                small = jnp.abs(apq) < 1e-30
-                theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-                t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
-                t = jnp.where(small, 0.0, t)
-                c = 1.0 / jnp.sqrt(t * t + 1.0)
-                snn = t * c
-                # rotation acting on rows/cols p,q: build as gather-free
-                # row updates (n is tiny; unrolled)
-                rp = a[..., p, :]
-                rq = a[..., q, :]
-                new_p = c[..., None] * rp - snn[..., None] * rq
-                new_q = snn[..., None] * rp + c[..., None] * rq
-                sel_p = eye[p]
-                sel_q = eye[q]
-                a = (
-                    a * (1.0 - sel_p - sel_q)[:, None]
-                    + sel_p[:, None] * new_p[..., None, :]
-                    + sel_q[:, None] * new_q[..., None, :]
-                )
-                cp = a[..., :, p]
-                cq = a[..., :, q]
-                new_cp = c[..., None] * cp - snn[..., None] * cq
-                new_cq = snn[..., None] * cp + c[..., None] * cq
-                a = (
-                    a * (1.0 - sel_p - sel_q)[None, :]
-                    + sel_p[None, :] * new_cp[..., :, None]
-                    + sel_q[None, :] * new_cq[..., :, None]
-                )
-                vp = v[..., :, p]
-                vq = v[..., :, q]
-                new_vp = c[..., None] * vp - snn[..., None] * vq
-                new_vq = snn[..., None] * vp + c[..., None] * vq
-                v = (
-                    v * (1.0 - sel_p - sel_q)[None, :]
-                    + sel_p[None, :] * new_vp[..., :, None]
-                    + sel_q[None, :] * new_vq[..., :, None]
-                )
-    w = jnp.diagonal(a, axis1=-2, axis2=-1)
-    return w, v
+    a0 = jnp.moveaxis(jnp.asarray(s), (-2, -1), (0, 1))
+    v0 = jnp.broadcast_to(
+        jnp.eye(n, dtype=a0.dtype).reshape((n, n) + (1,) * (a0.ndim - 2)), a0.shape
+    )
+    a1, v1 = _jacobi_stacked_leading(a0, v0, n, sweeps)
+    w = jnp.moveaxis(jnp.diagonal(a1, axis1=0, axis2=1), -1, -1)  # (..., n)
+    v_arr = jnp.moveaxis(v1, (0, 1), (-2, -1))
+    return w, v_arr

@@ -69,6 +69,9 @@ def make_scenario_step(
     pallas_interpret: bool = False,  # run the batched kernel interpreted (CPU dryrun)
     fast_math: bool = False,  # polynomial transcendentals in the MPPI kernel sampling
     sampler: str = "box-muller",  # in-kernel noise generator (ops.mppi_pallas.SAMPLERS)
+    ukf_layout: str = "aos",  # "aos": vmapped estimators.ukf; "soa": batch-minor
+    ukf_fx_c: Callable | None = None,  # component-form fx (required for "soa")
+    ukf_hx_c: Callable | None = None,  # component-form hx (required for "soa")
 ):
     """Returns jitted ``step(carry) -> carry`` advancing every scenario one
     control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
@@ -87,10 +90,21 @@ def make_scenario_step(
     2 N push during t∈(1,1.5) s — mppi4-non-liner-ukf.rs:237-244). When
     given, ``plant_fx`` is called as ``plant_fx(x, u, f)`` and ``dt_tick``
     must be the control-tick period (sim time advances by it each tick).
+
+    ``ukf_layout="soa"``: run the estimator in the batch-minor layout
+    (estimators/ukf_soa.py — every matrix entry a (B,) lane-dense vector;
+    the vmapped AoS layout wastes ~95% of each VPU tile on 6×6 math).
+    Requires component-form ``ukf_fx_c``/``ukf_hx_c``; the carry keeps the
+    standard batch-leading ``UkfState`` (checkpoint/sharding compatible) —
+    conversion happens inside the tick. The sensor-noise key schedule
+    differs from the AoS path (same statistics), so trajectories are not
+    bit-comparable across layouts; survival/acceptance gates both.
     """
     n_dev_r = mesh.shape[rollout_axis]
     if cfg.n_rollouts % n_dev_r:
         raise ValueError("K not divisible by rollout axis")
+    if ukf_layout == "soa" and (ukf_fx_c is None or ukf_hx_c is None):
+        raise ValueError("ukf_layout='soa' requires component-form ukf_fx_c and ukf_hx_c")
     k_local = cfg.n_rollouts // n_dev_r
     sig = jnp.asarray(sensor_stddevs)
     if n_state is None:
@@ -168,7 +182,57 @@ def make_scenario_step(
                 )
             return x_next, ukf
 
-        x_next, ukf = jax.vmap(rest)(carry.x, u_new, carry.ukf, k_sens, carry.t)
+        def rest_soa(x, u_seq, ukf, ks, t):
+            """Batch-level plant/sensor/UKF substeps with the estimator in
+            the batch-minor layout — no vmap; every UKF op is a full-lane
+            (B,) vector op. The plant and hx run vector-form on (B, n)
+            (their internals slice components, already lane-dense)."""
+            from mpc_rs_tpu.estimators import ukf_soa as _soa
+
+            u0 = u_seq[:, 0]
+            if control_start > 0.0:
+                u0 = jnp.where(t >= jnp.float32(control_start), u0, 0.0)
+            # q/r are the fleets' per-init constants (identical across the
+            # batch by construction — init_scenario_carry broadcasts one)
+            q_const, r_const = ukf.q[0], ukf.r[0]
+            n_obs = r_const.shape[-1]
+            soa = _soa.from_batched(ukf.x, ukf.p, ukf.sigma_f)
+
+            def substep(c, inp):
+                x, soa = c
+                kss, i = inp
+                if disturbance is None:
+                    x_next = plant_fx(x, u0)
+                else:
+                    x_next = plant_fx(x, u0, disturbance(t + i * dt_sub))
+                zmat = ukf_hx(x_next) + sig * jax.random.normal(
+                    kss, x_next.shape[:-1] + sig.shape, dtype=sig.dtype
+                )
+                soa = _soa.soa_predict(ukf_params, soa, u0, ukf_fx_c, q_const)
+                soa = _soa.soa_update(
+                    ukf_params, soa, tuple(zmat[..., j] for j in range(n_obs)),
+                    ukf_hx_c, r_const,
+                )
+                if ukf_p_reset is not None:
+                    soa = _soa.soa_guard(soa, jnp.asarray(ukf_p_reset))
+                return (x_next, soa), None
+
+            keys = jax.random.split(ks[0], n_substeps)  # shared sensor-noise
+            # schedule root; per-substep keys draw (B, o) noise at once
+            if n_substeps == 1:
+                (x_next, soa), _ = substep((x, soa), (keys[0], jnp.float32(0.0)))
+            else:
+                (x_next, soa), _ = jax.lax.scan(
+                    substep, (x, soa),
+                    (keys, jnp.arange(n_substeps, dtype=jnp.float32)),
+                )
+            xb, pb, sfb = _soa.to_batched(soa)
+            return x_next, ukf._replace(x=xb, p=pb, sigma_f=sfb)
+
+        if ukf_layout == "soa":
+            x_next, ukf = rest_soa(carry.x, u_new, carry.ukf, k_sens, carry.t)
+        else:
+            x_next, ukf = jax.vmap(rest)(carry.x, u_new, carry.ukf, k_sens, carry.t)
         return ScenarioCarry(
             x=x_next, u_n=u_new, ukf=ukf, key=key_next, status=status,
             t=carry.t + jnp.float32(dt_tick),

@@ -313,3 +313,27 @@ def test_ukf_jacobi_matches_eigh_on_linear_model():
             pscale = max(np.abs(pe_).max(), 1e-3)
             np.testing.assert_allclose(pj_ / pscale, pe_ / pscale, atol=1e-5,
                                        err_msg=f"trial {trial} P")
+
+
+def test_jacobi_jit_vmap_reconstructs():
+    """Regression: the masked-whole-matrix Jacobi update form miscompiled
+    under jit(vmap(...)) on CPU XLA — two near-degenerate eigenvalues
+    collapsed toward their mean (reconstruction error ~5e-2 while the
+    unjitted and unvmapped paths were exact to 3e-15). The entry-list form
+    (smallalg.jacobi_entries) must reconstruct under jit+vmap exactly."""
+    import numpy as np
+
+    from mpc_rs_tpu.estimators.smallalg import eigh_jacobi_unrolled
+
+    rng = np.random.default_rng(7)
+    b, n = 32, 4
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    p0 = (0.05 * (a @ a.transpose(0, 2, 1)) + 0.1 * np.eye(n, dtype=np.float32)).astype(
+        np.float64
+    )
+    p0[0] = 0.3 * np.eye(n)  # exactly degenerate
+    w, v = jax.jit(jax.vmap(eigh_jacobi_unrolled))(jnp.asarray(p0))
+    rec = np.einsum("bik,bk,bjk->bij", np.array(v), np.array(w), np.array(v))
+    assert np.abs(rec - p0).max() < 1e-10
+    orth = np.einsum("bik,bjk->bij", np.array(v), np.array(v)) - np.eye(n)
+    assert np.abs(orth).max() < 1e-10
