@@ -222,9 +222,15 @@ def _bench_fleet(model: str, *, ticks: int, batch: int = 1024):
     }
 
 
-def _bench_qp_fleet(batch: int = 1024, ticks: int = 30):
-    """Batched gradient-MPC fleet (vmapped PANOC over the condensed QP,
-    nonlinear plant — op-mpc-x-calc-nl.rs batched)."""
+def _bench_qp_fleet(batch: int = 1024, ticks: int = 4000):
+    """Batched gradient-MPC fleet (projected-Newton batched box-QP solve,
+    nonlinear plant — op-mpc-x-calc-nl.rs batched). A tick is ~10 µs for
+    the whole B=1024 batch since round 2.5 (12 exact Newton iterations of
+    lane-dense (B,N) work replace the vmapped PANOC while_loop), so the
+    scan must be thousands of ticks long for the marginal time to dominate
+    the ~0.4 s tunneled-dispatch jitter. Parked fraction is read at 30
+    ticks (3 s sim — the acceptance horizon); the timing scan continues
+    beyond it (the fleet just regulates in place)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -246,7 +252,7 @@ def _bench_qp_fleet(batch: int = 1024, ticks: int = 30):
     t0 = time.perf_counter(); float(jnp.sum(r1(carry)[0])); e1 = time.perf_counter() - t0
     t0 = time.perf_counter(); out = r2(carry); float(jnp.sum(out[0])); e2 = time.perf_counter() - t0
     per = max(1e-9, (e2 - e1) / (ticks - n_short))
-    x = np.array(out[0])
+    x = np.array(make(30)(carry)[0])  # parked? read at the 3 s acceptance horizon
     return {
         "qp_fleet_scenarios": batch,
         "qp_fleet_scenario_ticks_per_s": round(batch / per, 0),

@@ -176,16 +176,30 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
     return tick, carry, dt, theta_idx, guard
 
 
-def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60):
+def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60,
+                   solver: str = "newton"):
     """Batched gradient-MPC fleet: B independent op-mpc-x-calc-nl parking
-    problems (condensed QP + PANOC, nonlinear plant — the model-mismatch
-    benchmark, examples/op-mpc-x-calc.rs:73-98) solved per tick with a
-    single vmapped ``panoc_solve`` (vmappable by design —
-    tests/test_panoc.py::test_panoc_vmap_batched_scenarios).
+    problems (condensed QP, nonlinear plant — the model-mismatch benchmark,
+    examples/op-mpc-x-calc.rs:73-98) solved per tick.
+
+    ``solver="newton"`` (default): one batched projected-Newton box-QP
+    solve (controllers/qp.py:box_qp_newton) — the linear terms for all B
+    scenarios come from two matmuls (qp_linear_term) and each Newton
+    iteration is lane-dense (B,N) work, so the whole fleet tick is a
+    handful of MXU/VPU ops. ``solver="panoc"``: the general vmapped
+    ``panoc_solve`` path (vmappable by design —
+    tests/test_panoc.py::test_panoc_vmap_batched_scenarios); same
+    minimizer (both KKT points of the same strictly convex QP), ~250×
+    slower per tick at B=1024 — kept as the parity/generality path.
 
     Returns (tick, carry0, dt). carry = (x (B,4), u_n (B,N), key)."""
     from mpc_rs_tpu.controllers.panoc import PanocConfig, box_projection, panoc_solve
-    from mpc_rs_tpu.controllers.qp import build_condensed_qp, make_qp_value_and_grad
+    from mpc_rs_tpu.controllers.qp import (
+        box_qp_newton,
+        build_condensed_qp,
+        make_qp_value_and_grad,
+        qp_linear_term,
+    )
     from mpc_rs_tpu.models import reference
 
     p = CartPoleParams.single_wheel()
@@ -197,16 +211,25 @@ def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60):
     gen_ref = reference.make_gen_ref_raised_cosine(n)
     vg_factory = make_qp_value_and_grad(qp, gen_ref)
     cfg = PanocConfig(tol=1e-5, max_iter=max_iter, lbfgs_mem=10)
-    proj = box_projection(-30.0, 30.0)
+    lim = 30.0
+    proj = box_projection(-lim, lim)
     plant = as_vector_fn(dynamics.make_cartpole_nonlinear(p, dt), 4)
 
     def solve_one(x, u):
         return panoc_solve(cfg, None, proj, u, value_and_grad=vg_factory(x)).u
 
+    def solve_batch_newton(x, u_n):
+        x_ref = jax.vmap(lambda xi: gen_ref(xi).reshape(-1))(x)
+        b = qp_linear_term(qp, x, x_ref)
+        return box_qp_newton(qp.h, b, u_n, -lim, lim, iters=12)
+
     @jax.jit
     def tick(carry):
         x, u_n, key = carry
-        u_new = jax.vmap(solve_one)(x, u_n)
+        if solver == "newton":
+            u_new = solve_batch_newton(x, u_n)
+        else:
+            u_new = jax.vmap(solve_one)(x, u_n)
         x_next = jax.vmap(plant)(x, u_new[:, 0])
         return (x_next, u_new, key)
 
@@ -222,7 +245,8 @@ def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60):
 
 def _run_qp_fleet(args):
     b = args.scenarios
-    tick, carry, dt = build_qp_fleet(b, seed=args.seed, max_iter=args.max_iter or 60)
+    tick, carry, dt = build_qp_fleet(b, seed=args.seed, max_iter=args.max_iter or 60,
+                                     solver=getattr(args, "qp_solver", "newton"))
     chunk = max(1, min(int(round(args.report_every / dt)), int(args.t_end / dt)))
 
     @jax.jit

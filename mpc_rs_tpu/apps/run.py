@@ -42,7 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--report-every", type=float, default=1.0, help="fleet report period [s]")
     ap.add_argument("--resume", default=None, help="fleet checkpoint to resume from")
     ap.add_argument("--controller", choices=["mppi", "qp"], default="mppi",
-                    help="fleet controller: sampling MPPI or vmapped gradient-MPC (PANOC QP)")
+                    help="fleet controller: sampling MPPI or batched gradient-MPC (condensed QP)")
+    ap.add_argument("--qp-solver", choices=["newton", "panoc"], default="newton",
+                    help="QP-fleet solver: batched projected Newton (exact KKT, lane-dense, "
+                         "default) or the general vmapped PANOC path")
     ap.add_argument("--model", choices=["cartpole4", "flagship6"], default="cartpole4",
                     help="fleet plant/estimator stack")
     ap.add_argument("--sqrt-method", choices=["eigh", "jacobi", "cholesky"], default=None,

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -96,6 +97,71 @@ def qp_cost(qp: CondensedQp, x0, u, x_ref_flat):
 def qp_grad(qp: CondensedQp, x0, u, x_ref_flat):
     """∇J = 2GᵀQ(Gu + Fx₀ − x_ref) — op-mpc-x-calc.rs:90-98."""
     return 2.0 * (qp.gq @ (qp.g @ u + qp.f @ x0 - x_ref_flat))
+
+
+def qp_linear_term(qp: CondensedQp, x0, x_ref_flat):
+    """b such that J(u) = uᵀHu + bᵀu (+ a u-independent constant) equals
+    ``qp_cost``: b = 2GᵀQ(Fx₀ − x_ref) — the affine part of
+    op-mpc-x-calc.rs:73-83. Broadcasts over leading batch dims of ``x0``/
+    ``x_ref_flat`` (the batched-fleet path computes B linear terms with two
+    matmuls instead of B closure evaluations)."""
+    fx = x0 @ qp.f.T  # (…, sN)
+    return 2.0 * ((fx - x_ref_flat) @ qp.gq.T)  # (…, N)
+
+
+def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16):
+    """Batched projected-Newton solver for  min uᵀHu + bᵀu,  lo ≤ u ≤ hi.
+
+    TPU-first replacement for the vmapped PANOC loop in fleet workloads:
+    PANOC is general (any differentiable cost) but its while_loop/L-BFGS
+    machinery is all sequential small-vector work; for the *condensed QP*
+    the Hessian 2H is a known constant, so the two-metric projected Newton
+    method (Bertsekas 1982) applies directly — per iteration: identify the
+    binding set from the sign of the gradient at the bounds, take an exact
+    Newton step on the free block (masked SPD solve, unrolled Cholesky —
+    estimators/smallalg.py), clip. Once the active set settles, one step
+    lands on the exact KKT point of the reduced problem, so a fixed small
+    ``iters`` (static shape, scan-able, vmappable) reaches machine-precision
+    stationarity for horizons this size (N ≤ 50). The best-cost iterate is
+    returned, making the fixed-budget loop monotone even mid-settling.
+
+    ``h`` is the (N, N) condensed Hessian GᵀQG (shared across the batch);
+    ``b``/``u0`` broadcast over leading batch dims. Equivalent solutions to
+    ``panoc_solve`` on the same QP (tests/test_panoc.py), ~3 orders of
+    magnitude faster per fleet tick at B=1024.
+    """
+    from mpc_rs_tpu.estimators.smallalg import spd_solve_unrolled
+
+    dtype = u0.dtype
+    h2 = 2.0 * jnp.asarray(h, dtype)
+    n = h2.shape[-1]
+    eye = jnp.eye(n, dtype=dtype)
+    lo = jnp.asarray(lo, dtype)
+    hi = jnp.asarray(hi, dtype)
+    eps = 1e-6 * (hi - lo)
+    b = jnp.asarray(b, dtype)
+
+    def cost(u):
+        return jnp.sum(u * (u @ h2) * 0.5 + b * u, axis=-1)
+
+    u0 = jnp.clip(u0, lo, hi)
+
+    def step(carry, _):
+        u, best_u, best_j = carry
+        g = u @ h2 + b
+        act = ((u <= lo + eps) & (g > 0)) | ((u >= hi - eps) & (g < 0))
+        m = jnp.where(act, jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
+        a = m[..., :, None] * m[..., None, :] * h2 + (1.0 - m)[..., :, None] * eye
+        d = spd_solve_unrolled(a, (-g * m)[..., None])[..., 0]
+        u = jnp.clip(u + d, lo, hi)
+        j = cost(u)
+        better = j < best_j
+        best_u = jnp.where(better[..., None], u, best_u)
+        best_j = jnp.minimum(j, best_j)
+        return (u, best_u, best_j), None
+
+    (_, best_u, _), _ = jax.lax.scan(step, (u0, u0, cost(u0)), None, length=iters)
+    return best_u
 
 
 def make_qp_value_and_grad(qp: CondensedQp, gen_ref):

@@ -240,3 +240,80 @@ def test_panoc_vmap_batched_scenarios():
     for i in range(b):
         single = solve_one(hs[i], bs[i])
         np.testing.assert_allclose(np.array(batched[i]), np.array(single), atol=1e-6)
+
+
+def _cartpole_qp(dtype=jnp.float64):
+    p = CartPoleParams.single_wheel()
+    a, bm = dynamics.linear_ab(p, 0.1)
+    c = np.diag([5.0, 5.0, 1.0, 1.0])
+    return build_condensed_qp(a, bm, c, 8, dtype=dtype)
+
+
+def test_box_qp_newton_kkt_exact():
+    """box_qp_newton reaches the exact KKT point of the condensed box-QP:
+    free-coordinate gradient ~ machine zero, bound multipliers signed
+    correctly — even with most coordinates bound-active (tight box)."""
+    from mpc_rs_tpu.controllers.qp import box_qp_newton, qp_linear_term
+
+    qp = _cartpole_qp()
+    gen_ref = reference.make_gen_ref_raised_cosine(8)
+    key = jax.random.key(1)
+    x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0]) + 1.0 * jax.random.normal(key, (64, 4))
+    x_ref = jax.vmap(lambda x: gen_ref(x).reshape(-1))(x0)
+    b = qp_linear_term(qp, x0, x_ref)
+    lo, hi = -3.0, 3.0
+    u = np.array(box_qp_newton(qp.h, b, jnp.zeros((64, 8)), lo, hi, iters=16))
+    h = np.array(qp.h)
+    g = 2 * u @ h + np.array(b)
+    free = (u > lo + 1e-9) & (u < hi - 1e-9)
+    assert (~free).any(), "test should exercise active bounds"
+    assert np.abs(g * free).max() < 1e-8
+    assert (g[np.abs(u - lo) < 1e-9] > -1e-8).all()
+    assert (g[np.abs(u - hi) < 1e-9] < 1e-8).all()
+    assert (u >= lo - 1e-12).all() and (u <= hi + 1e-12).all()
+
+
+def test_box_qp_newton_matches_panoc():
+    """Same minimizer as panoc_solve on the same strictly convex QP (wide
+    box, interior optimum → both converge tightly), f64."""
+    from mpc_rs_tpu.controllers.qp import box_qp_newton, qp_linear_term
+
+    qp = _cartpole_qp()
+    gen_ref = reference.make_gen_ref_raised_cosine(8)
+    vgf = make_qp_value_and_grad(qp, gen_ref)
+    cfg = PanocConfig(tol=1e-10, max_iter=2000, lbfgs_mem=10)
+    proj = box_projection(-300.0, 300.0)
+    key = jax.random.key(3)
+    x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0]) + 0.3 * jax.random.normal(key, (8, 4))
+    x_ref = jax.vmap(lambda x: gen_ref(x).reshape(-1))(x0)
+    b = qp_linear_term(qp, x0, x_ref)
+    u_n = np.array(box_qp_newton(qp.h, b, jnp.zeros((8, 8)), -300.0, 300.0, iters=12))
+    u_p = np.array(
+        jax.vmap(lambda x, u: panoc_solve(cfg, None, proj, u, value_and_grad=vgf(x)).u)(
+            x0, jnp.zeros((8, 8))
+        )
+    )
+    np.testing.assert_allclose(u_n, u_p, atol=5e-5)
+
+
+def test_box_qp_newton_jit_vmap_f32():
+    """The fleet usage pattern: f32, jitted, batched; solution must satisfy
+    KKT to f32 precision and respect the box exactly."""
+    from mpc_rs_tpu.controllers.qp import box_qp_newton, qp_linear_term
+
+    qp = _cartpole_qp(dtype=jnp.float32)
+    gen_ref = reference.make_gen_ref_raised_cosine(8)
+    key = jax.random.key(9)
+    x0 = (jnp.asarray([0.5, 0.0, 0.1, 0.0], jnp.float32)
+          + 0.5 * jax.random.normal(key, (128, 4), jnp.float32))
+    x_ref = jax.vmap(lambda x: gen_ref(x).reshape(-1))(x0)
+    b = qp_linear_term(qp, x0, x_ref)
+    solve = jax.jit(lambda bb, uu: box_qp_newton(qp.h, bb, uu, -30.0, 30.0, iters=12))
+    u = np.array(solve(b, jnp.zeros((128, 8), jnp.float32)))
+    g = 2 * u @ np.array(qp.h) + np.array(b)
+    free = (u > -30.0 + 1e-4) & (u < 30.0 - 1e-4)
+    # f32 floor: eps·‖H‖·‖u‖ ≈ 4e-4 at cond(H) ≈ 1.8e3 — residual sits there
+    # independent of iters (verified 12/20/32 identical)
+    scale = max(1.0, np.abs(g).max())
+    assert np.abs(g * free).max() / scale < 2e-4
+    assert (np.abs(u) <= 30.0 + 1e-6).all()

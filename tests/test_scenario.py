@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mpc_rs_tpu.controllers.mppi import MppiConfig
 from mpc_rs_tpu.estimators.ukf import ukf_init
@@ -159,12 +160,14 @@ def test_scenario_loop_stabilizes_population():
     assert np.median(th_all) < 0.3
 
 
-def test_qp_fleet_parks_population():
-    """Batched gradient-MPC fleet (vmapped PANOC): every scenario parks
-    within 3 s and stays upright — examples/op-mpc-x-calc-nl.rs batched."""
+@pytest.mark.parametrize("solver", ["newton", "panoc"])
+def test_qp_fleet_parks_population(solver):
+    """Batched gradient-MPC fleet: every scenario parks within 3 s and
+    stays upright — examples/op-mpc-x-calc-nl.rs batched. Both solvers
+    (batched projected Newton, vmapped PANOC) must close the loop."""
     from mpc_rs_tpu.apps.fleet import build_qp_fleet
 
-    tick, carry, dt = build_qp_fleet(16, seed=1, max_iter=60)
+    tick, carry, dt = build_qp_fleet(16, seed=1, max_iter=60, solver=solver)
     for _ in range(int(3.0 / dt)):
         carry = tick(carry)
     x = np.array(carry[0])
