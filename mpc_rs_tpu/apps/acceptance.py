@@ -118,6 +118,17 @@ def chk_fleet(surv_min):
     return chk
 
 
+def chk_qp_fleet(park_min):
+    def chk(ret, out):
+        vals = [float(ln.split("parked=")[1].split()[0])
+                for ln in out.splitlines() if "parked=" in ln]
+        ups = [float(ln.split("upright=")[1].split()[0])
+               for ln in out.splitlines() if "upright=" in ln]
+        return bool(vals) and vals[-1] >= park_min and ups[-1] == 1.0
+
+    return chk
+
+
 # ---- spec table -----------------------------------------------------------
 # (workload, extra argv, check, note). K reduced for CPU where marked; the
 # pass criterion itself is the reference's.
@@ -168,6 +179,10 @@ SPECS = {
     "fleet-flagship6": ("fleet", ["--model", "flagship6", "--scenarios", "24", "--t-end", "2",
                                   "--report-every", "2"], chk_fleet(0.90),
                         "flagship fleet survival ≥0.90 @B=24 incl. pulse (TPU full-scale: BENCH)"),
+    "fleet-qp": ("fleet", ["--controller", "qp", "--scenarios", "64", "--t-end", "3"],
+                 chk_qp_fleet(0.95),
+                 "QP fleet parks ≥0.95 and 100% upright @B=64 in 3 s "
+                 "(batched projected-Newton box-QP, nonlinear plant)"),
 }
 
 
