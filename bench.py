@@ -153,6 +153,7 @@ def main():
             fl2 = _bench_fleet("flagship6", ticks=300, batch=1024)  # 3 s at 100 Hz, covers the 2 N pulse
             fleet.update({f"flagship_{k.split('fleet_')[-1]}": v for k, v in fl2.items()})
             fleet.update(_bench_qp_fleet())
+            fleet.update(_bench_qp_latency())
         except Exception as e:  # fleet metric is auxiliary; never fail the bench
             fleet = {"fleet_error": str(e)[:120]}
 
@@ -220,6 +221,37 @@ def _bench_fleet(model: str, *, ticks: int, batch: int = 1024):
         f"fleet_survival_{ticks}_ticks": round(surv, 4),
         "fleet_sim_seconds": round(ticks * dt, 2),
     }
+
+
+def _bench_qp_latency(ticks: int = 60000):
+    """Single-instance gradient-MPC latency, device-resident: one
+    receding-horizon tick = exact box-QP solve (projected Newton, 12
+    iterations) + nonlinear plant step, chained through warm-started u_n
+    under lax.scan. The reference's PANOC budget for the same condensed QP
+    is its wall-clock cap: 0.03 s (DUR, mpc-ukf-s.rs:17) to 0.1 s
+    (op-mpc-x.rs:161)."""
+    import jax.numpy as jnp
+
+    from mpc_rs_tpu.apps.fleet import build_qp_fleet
+
+    tick, carry, dt = build_qp_fleet(1)
+
+    def make(n):
+        @jax.jit
+        def run(c):
+            c, _ = jax.lax.scan(lambda c, _: (tick(c), None), c, jnp.arange(n))
+            return c
+        return run
+
+    n_short = ticks // 10
+    r1, r2 = make(n_short), make(ticks)
+    float(jnp.sum(r1(carry)[0])); float(jnp.sum(r2(carry)[0]))
+    t0 = time.perf_counter(); float(jnp.sum(r1(carry)[0])); e1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(jnp.sum(r2(carry)[0])); e2 = time.perf_counter() - t0
+    per = max(1e-9, (e2 - e1) / (ticks - n_short))
+    return {"qp_solve_us": round(per * 1e6, 2),
+            "qp_solves_per_s": round(1.0 / per, 0),
+            "qp_vs_reference_budget": round(0.03 / per, 0)}
 
 
 def _bench_qp_fleet(batch: int = 1024, ticks: int = 4000):

@@ -195,6 +195,7 @@ def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60,
     Returns (tick, carry0, dt). carry = (x (B,4), u_n (B,N), key)."""
     from mpc_rs_tpu.controllers.panoc import PanocConfig, box_projection, panoc_solve
     from mpc_rs_tpu.controllers.qp import (
+        active_set_inverse_table,
         box_qp_newton,
         build_condensed_qp,
         make_qp_value_and_grad,
@@ -218,10 +219,18 @@ def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60,
     def solve_one(x, u):
         return panoc_solve(cfg, None, proj, u, value_and_grad=vg_factory(x)).u
 
+    # 256-entry active-set inverse table (64 KB): each Newton iteration is a
+    # gather + matvec — removes the unrolled-Cholesky op flood that dominates
+    # at single-instance latency (B=1: 661 → 62 µs/tick), same iterates to
+    # 7e-12. From B=16 up the lane-dense unrolled solve wins (B=1024: 45 vs
+    # 109 µs/tick — the (B,8,8) gather is bandwidth, the solve is registers);
+    # measured crossover is between 1 and 16.
+    inv_tbl = active_set_inverse_table(qp.h) if scenarios < 16 else None
+
     def solve_batch_newton(x, u_n):
         x_ref = jax.vmap(lambda xi: gen_ref(xi).reshape(-1))(x)
         b = qp_linear_term(qp, x, x_ref)
-        return box_qp_newton(qp.h, b, u_n, -lim, lim, iters=12)
+        return box_qp_newton(qp.h, b, u_n, -lim, lim, iters=12, inv_table=inv_tbl)
 
     @jax.jit
     def tick(carry):

@@ -263,6 +263,15 @@ def test_box_qp_newton_kkt_exact():
     b = qp_linear_term(qp, x0, x_ref)
     lo, hi = -3.0, 3.0
     u = np.array(box_qp_newton(qp.h, b, jnp.zeros((64, 8)), lo, hi, iters=16))
+    # active-set inverse-table path (single-instance latency mode): same
+    # iterates up to rounding
+    from mpc_rs_tpu.controllers.qp import active_set_inverse_table
+
+    tbl = active_set_inverse_table(qp.h)
+    u_tbl = np.array(
+        box_qp_newton(qp.h, b, jnp.zeros((64, 8)), lo, hi, iters=16, inv_table=tbl)
+    )
+    np.testing.assert_allclose(u_tbl, u, atol=1e-9)
     h = np.array(qp.h)
     g = 2 * u @ h + np.array(b)
     free = (u > lo + 1e-9) & (u < hi - 1e-9)
