@@ -111,7 +111,7 @@ _TRI_A = 1.019453
 _TRI_B = -0.103499
 _TRI_C = 0.029151
 
-SAMPLERS = ("box-muller", "clt4", "clt2q")
+SAMPLERS = ("box-muller", "clt4", "clt2q", "clt4a")
 
 
 def _fill_vbuf(v_buf, get_u, n, shape, std_dev, lo, hi, fast, sampler):
@@ -139,6 +139,35 @@ def _fill_vbuf(v_buf, get_u, n, shape, std_dev, lo, hi, fast, sampler):
             s4 = (x2 & np.uint32(0xFFFF)) + (x2 >> 16)
             z = (pltpu.bitcast(s4, jnp.int32).astype(jnp.float32) - 510.0) * inv_sig
             v_buf[t] = jnp.clip(get_u(t) + z * (ca + cb * (z * z)), lo, hi)
+    elif sampler == "clt4a":
+        # antithetic clt4: ONE normal per rollout PAIR — the top half of
+        # the block perturbs +ε, the bottom half −ε. Classic antithetic
+        # variates for the MPPI softmax estimator: the empirical noise mean
+        # is exactly zero per (t, block) and the whole integer/poly sampling
+        # pipeline runs at HALF width (sampling is the dominant kernel cost
+        # — DESIGN §9), at the price of pairwise-correlated rollouts.
+        # Distribution per sample is identical to clt4 (z and −z are
+        # equidistributed). Requires block_sublanes % 16 == 0.
+        bs_, lanes = shape
+        if bs_ % 16:
+            raise ValueError(
+                f"sampler 'clt4a' needs block_sublanes % 16 == 0, got {bs_}"
+            )
+        half = bs_ // 2
+        inv_sig = np.float32(_CLT_INV_SIG)
+        ca = np.float32(_CLT_A * std_dev)
+        cb = np.float32(_CLT_B * std_dev)
+        for t in range(n):
+            w = pltpu.bitcast(pltpu.prng_random_bits((half, lanes)), jnp.uint32)
+            x2 = (w & np.uint32(0x00FF00FF)) + ((w >> 8) & np.uint32(0x00FF00FF))
+            s4 = (x2 & np.uint32(0xFFFF)) + (x2 >> 16)
+            z = (pltpu.bitcast(s4, jnp.int32).astype(jnp.float32) - 510.0) * inv_sig
+            e = z * (ca + cb * (z * z))
+            u_t = get_u(t)
+            # two half-block stores (a concatenate forces a sublane relayout
+            # that costs more than the halved sampling saves)
+            v_buf[t, : half] = jnp.clip(u_t + e, lo, hi)
+            v_buf[t, half :] = jnp.clip(u_t - e, lo, hi)
     elif sampler == "clt2q":
         inv_t = np.float32(_TRI_INV_SIG)
         qa = np.float32(_TRI_A * std_dev)

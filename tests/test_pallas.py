@@ -321,3 +321,41 @@ def test_fleet_kernel_exact_parity_same_noise():
         w = np.exp((sc - sc.max()) / 2.5)
         want = (w / w.sum()) @ v
         np.testing.assert_allclose(np.array(u[s_i]), want, rtol=1e-3, atol=5e-4)
+
+
+def test_batched_kernel_clt4a_antithetic_interpret():
+    """Antithetic clt4 ('clt4a') through the batched kernel (interpret):
+    the zero-stub PRNG makes every pair (+e0, −e0) with e0 = clt4(w=0)·σ;
+    with uniform-ish weights (huge λ) and a box wide enough that neither
+    side clips, the pair average cancels exactly back to clip(u_n) — an
+    end-to-end check of the half-width sampling + two half-block stores.
+    Per-sample distribution equals clt4's (z and −z are equidistributed),
+    so the clt4 distribution tests cover it."""
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
+
+    step = dynamics.make_double_integrator(0.05)
+    b, k, sd = 8, 2048, 1.7
+    cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=1e9, std_dev=sd, limit=(-9.0, 9.0))
+    u_ns = jnp.tile(jnp.linspace(-2.0, 2.0, 8, dtype=jnp.float32), (b, 1))
+    xs = jnp.zeros((b, 2), jnp.float32)
+    u, st = mppi_solve_pallas_batch(
+        cfg, step, costs.quad2, 2, jnp.arange(b, dtype=jnp.int32), xs, u_ns,
+        interpret=True, block_sublanes=16, sampler="clt4a",
+    )
+    assert (np.array(st) == 0).all()
+    np.testing.assert_allclose(np.array(u), np.array(u_ns), rtol=1e-5, atol=1e-5)
+
+
+def test_clt4a_rejects_narrow_blocks():
+    """clt4a requires block_sublanes % 16 == 0 (the antithetic halves are
+    sublane-tiled); narrower blocks must fail loudly, not mis-sample."""
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
+
+    step = dynamics.make_double_integrator(0.05)
+    cfg = MppiConfig(n_horizon=8, n_rollouts=1024, lambda_=2.5, std_dev=1.0, limit=(-3.0, 3.0))
+    with pytest.raises(ValueError, match="clt4a"):
+        mppi_solve_pallas_batch(
+            cfg, step, costs.quad2, 2, jnp.arange(8, dtype=jnp.int32),
+            jnp.zeros((8, 2), jnp.float32), jnp.zeros((8, 8), jnp.float32),
+            interpret=True, block_sublanes=8, sampler="clt4a",
+        )
