@@ -147,10 +147,11 @@ def main():
     fleet = {}
     if on_tpu:
         try:
-            fleet = _bench_fleet("cartpole4", ticks=100)  # 5 s at 20 Hz
+            fleet = _bench_fleet("cartpole4", ticks=100, time_ticks=4000)  # 5 s at 20 Hz
             # B=1024 for survival resolution (1 tip = 0.001, not 0.004);
             # matched-seed basis: clt4 4093/4096 vs exact 4094/4096
-            fl2 = _bench_fleet("flagship6", ticks=300, batch=1024)  # 3 s at 100 Hz, covers the 2 N pulse
+            fl2 = _bench_fleet("flagship6", ticks=300, batch=1024,
+                               time_ticks=800)  # 3 s at 100 Hz, covers the 2 N pulse
             fleet.update({f"flagship_{k.split('fleet_')[-1]}": v for k, v in fl2.items()})
             fleet.update(_bench_qp_fleet())
             fleet.update(_bench_qp_latency())
@@ -177,7 +178,8 @@ def main():
     print(json.dumps(out))
 
 
-def _bench_fleet(model: str, *, ticks: int, batch: int = 1024):
+def _bench_fleet(model: str, *, ticks: int, batch: int = 1024,
+                 time_ticks: int | None = None):
     """North star (BASELINE.json): batched MPPI+UKF closed loops per chip.
 
     Survival = fraction of scenarios whose |θ| NEVER exceeded the model's
@@ -194,24 +196,29 @@ def _bench_fleet(model: str, *, ticks: int, batch: int = 1024):
         model, 0, "pallas", mesh, scenarios=batch,
     )
 
-    def make(n):
+    def make(n, track_theta):
         @jax.jit
         def run(c):
             def body(c, _):
                 c = tick(c)
-                return c, jnp.abs(c.x[:, theta_idx])
+                return c, (jnp.abs(c.x[:, theta_idx]) if track_theta else 0.0)
 
             c, th = jax.lax.scan(body, c, jnp.arange(n))
-            return c, jnp.max(th, axis=0)
+            return c, (jnp.max(th, axis=0) if track_theta else th)
         return run
 
-    n_short = max(2, ticks // 15)
-    r1, r2 = make(n_short), make(ticks)
+    # survival at the acceptance horizon (`ticks`); timing over a scan long
+    # enough that the marginal dominates the ~0.4 s dispatch jitter (a
+    # 100-tick marginal under-reported the cartpole4 fleet by ~40%)
+    n_time = max(ticks, time_ticks or 0)
+    n_short = max(2, n_time // 10)
+    r1, r2 = make(n_short, False), make(n_time, False)
     out, _ = r1(carry); float(jnp.sum(out.x))
-    out, th_max = r2(carry); float(jnp.sum(out.x))
+    out, _ = r2(carry); float(jnp.sum(out.x))
     t0 = time.perf_counter(); float(jnp.sum(r1(carry)[0].x)); e1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); out, th_max = r2(carry); float(jnp.sum(out.x)); e2 = time.perf_counter() - t0
-    per = max(1e-9, (e2 - e1) / (ticks - n_short))
+    t0 = time.perf_counter(); float(jnp.sum(r2(carry)[0].x)); e2 = time.perf_counter() - t0
+    per = max(1e-9, (e2 - e1) / (n_time - n_short))
+    _, th_max = make(ticks, True)(carry)
     surv = float((np.array(th_max) < guard).mean())
     return {
         "fleet_scenarios": batch,
