@@ -230,18 +230,10 @@ def _bench_fleet(model: str, *, ticks: int, batch: int = 1024,
     }
 
 
-def _bench_qp_latency(ticks: int = 60000):
-    """Single-instance gradient-MPC latency, device-resident: one
-    receding-horizon tick = exact box-QP solve (projected Newton, 12
-    iterations) + nonlinear plant step, chained through warm-started u_n
-    under lax.scan. The reference's PANOC budget for the same condensed QP
-    is its wall-clock cap: 0.03 s (DUR, mpc-ukf-s.rs:17) to 0.1 s
-    (op-mpc-x.rs:161)."""
+def _qp_tick_marginal(tick, carry, ticks: int):
+    """Per-tick marginal time of a scanned QP-fleet tick (two-length scan,
+    scalar-readback sync — same discipline as the MPPI chain timing)."""
     import jax.numpy as jnp
-
-    from mpc_rs_tpu.apps.fleet import build_qp_fleet
-
-    tick, carry, dt = build_qp_fleet(1)
 
     def make(n):
         @jax.jit
@@ -250,12 +242,25 @@ def _bench_qp_latency(ticks: int = 60000):
             return c
         return run
 
-    n_short = ticks // 10
+    n_short = max(2, ticks // 10)
     r1, r2 = make(n_short), make(ticks)
     float(jnp.sum(r1(carry)[0])); float(jnp.sum(r2(carry)[0]))
     t0 = time.perf_counter(); float(jnp.sum(r1(carry)[0])); e1 = time.perf_counter() - t0
     t0 = time.perf_counter(); float(jnp.sum(r2(carry)[0])); e2 = time.perf_counter() - t0
-    per = max(1e-9, (e2 - e1) / (ticks - n_short))
+    return max(1e-9, (e2 - e1) / (ticks - n_short)), make
+
+
+def _bench_qp_latency(ticks: int = 60000):
+    """Single-instance gradient-MPC latency, device-resident: one
+    receding-horizon tick = exact box-QP solve (projected Newton, 12
+    iterations, active-set inverse table) + nonlinear plant step, chained
+    through warm-started u_n under lax.scan. The reference's PANOC budget
+    for the same condensed QP is its wall-clock cap: 0.03 s (DUR,
+    mpc-ukf-s.rs:17) to 0.1 s (op-mpc-x.rs:161)."""
+    from mpc_rs_tpu.apps.fleet import build_qp_fleet
+
+    tick, carry, dt = build_qp_fleet(1)
+    per, _ = _qp_tick_marginal(tick, carry, ticks)
     return {"qp_solve_us": round(per * 1e6, 2),
             "qp_solves_per_s": round(1.0 / per, 0),
             "qp_vs_reference_budget": round(0.03 / per, 0)}
@@ -270,27 +275,12 @@ def _bench_qp_fleet(batch: int = 1024, ticks: int = 4000):
     the ~0.4 s tunneled-dispatch jitter. Parked fraction is read at 30
     ticks (3 s sim — the acceptance horizon); the timing scan continues
     beyond it (the fleet just regulates in place)."""
-    import jax.numpy as jnp
     import numpy as np
 
     from mpc_rs_tpu.apps.fleet import build_qp_fleet
 
-    tick, carry, dt = build_qp_fleet(batch, max_iter=40)
-
-    def make(n):
-        @jax.jit
-        def run(c):
-            c, _ = jax.lax.scan(lambda c, _: (tick(c), None), c, jnp.arange(n))
-            return c
-        return run
-
-    n_short = max(2, ticks // 10)
-    r1, r2 = make(n_short), make(ticks)
-    out = r1(carry); float(jnp.sum(out[0]))
-    out = r2(carry); float(jnp.sum(out[0]))
-    t0 = time.perf_counter(); float(jnp.sum(r1(carry)[0])); e1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); out = r2(carry); float(jnp.sum(out[0])); e2 = time.perf_counter() - t0
-    per = max(1e-9, (e2 - e1) / (ticks - n_short))
+    tick, carry, dt = build_qp_fleet(batch)
+    per, make = _qp_tick_marginal(tick, carry, ticks)
     x = np.array(make(30)(carry)[0])  # parked? read at the 3 s acceptance horizon
     return {
         "qp_fleet_scenarios": batch,

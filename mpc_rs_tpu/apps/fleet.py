@@ -210,35 +210,39 @@ def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60,
     c = np.diag([5.0, 5.0, 1.0, 1.0])
     qp = build_condensed_qp(a, bm, c, n, dtype=jnp.float32)
     gen_ref = reference.make_gen_ref_raised_cosine(n)
-    vg_factory = make_qp_value_and_grad(qp, gen_ref)
-    cfg = PanocConfig(tol=1e-5, max_iter=max_iter, lbfgs_mem=10)
     lim = 30.0
-    proj = box_projection(-lim, lim)
     plant = as_vector_fn(dynamics.make_cartpole_nonlinear(p, dt), 4)
 
-    def solve_one(x, u):
-        return panoc_solve(cfg, None, proj, u, value_and_grad=vg_factory(x)).u
+    if solver == "newton":
+        # 256-entry active-set inverse table (64 KB): each Newton iteration
+        # is a gather + matvec — removes the unrolled-Cholesky op flood that
+        # dominates single-instance latency (B=1: 661 → 62 µs/tick), same
+        # iterates to 7e-12. From B=16 up the lane-dense unrolled solve wins
+        # (B=1024: 45 vs 109 µs/tick — the (B,8,8) gather is bandwidth, the
+        # solve is registers); measured crossover is between 1 and 16.
+        # ``max_iter`` is a PANOC knob; Newton's fixed 12 iterations are
+        # past active-set settling for N=8 (iteration-count-invariant KKT
+        # residual — tests/test_panoc.py).
+        inv_tbl = active_set_inverse_table(qp.h) if scenarios < 16 else None
 
-    # 256-entry active-set inverse table (64 KB): each Newton iteration is a
-    # gather + matvec — removes the unrolled-Cholesky op flood that dominates
-    # at single-instance latency (B=1: 661 → 62 µs/tick), same iterates to
-    # 7e-12. From B=16 up the lane-dense unrolled solve wins (B=1024: 45 vs
-    # 109 µs/tick — the (B,8,8) gather is bandwidth, the solve is registers);
-    # measured crossover is between 1 and 16.
-    inv_tbl = active_set_inverse_table(qp.h) if scenarios < 16 else None
+        def solve_batch(x, u_n):
+            x_ref = jax.vmap(lambda xi: gen_ref(xi).reshape(-1))(x)
+            b = qp_linear_term(qp, x, x_ref)
+            return box_qp_newton(qp.h, b, u_n, -lim, lim, iters=12, inv_table=inv_tbl)
+    else:
+        vg_factory = make_qp_value_and_grad(qp, gen_ref)
+        cfg = PanocConfig(tol=1e-5, max_iter=max_iter, lbfgs_mem=10)
+        proj = box_projection(-lim, lim)
 
-    def solve_batch_newton(x, u_n):
-        x_ref = jax.vmap(lambda xi: gen_ref(xi).reshape(-1))(x)
-        b = qp_linear_term(qp, x, x_ref)
-        return box_qp_newton(qp.h, b, u_n, -lim, lim, iters=12, inv_table=inv_tbl)
+        def solve_batch(x, u_n):
+            return jax.vmap(
+                lambda xi, ui: panoc_solve(cfg, None, proj, ui, value_and_grad=vg_factory(xi)).u
+            )(x, u_n)
 
     @jax.jit
     def tick(carry):
         x, u_n, key = carry
-        if solver == "newton":
-            u_new = solve_batch_newton(x, u_n)
-        else:
-            u_new = jax.vmap(solve_one)(x, u_n)
+        u_new = solve_batch(x, u_n)
         x_next = jax.vmap(plant)(x, u_new[:, 0])
         return (x_next, u_new, key)
 

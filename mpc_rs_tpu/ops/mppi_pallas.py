@@ -49,16 +49,18 @@ def _rollout_index(block_id, bs):
     )
 
 
-def _default_block_sublanes(k: int) -> int:
+def _default_block_sublanes(k: int, sampler: str = "box-muller") -> int:
     """Measured-optimal block size (round-2 sweeps, TPU v5e — SCALING_r2
     tpu_single_chip[_clt4]): one block when K fits 256 sublanes (K ≤ 32768
     — kills per-grid-step overhead entirely: 3.1 → 1 block at K=10240),
     else 128 sublanes (uniformly ≥ 64 at K=819200 across exact/fast/clt4:
     42.5 vs 41.3 G steps/s clt4, 29.9 vs 29.1 fast-BM, 19.4 vs 19.2
-    exact)."""
+    exact). The antithetic sampler needs sublane-tiled halves, so its
+    blocks round up to 16 (exact-K masking keeps semantics at K < block)."""
     bs_full = -(-k // _LANES)
+    quantum = 16 if sampler == "clt4a" else 8
     if bs_full <= 256:
-        return max(8, -(-bs_full // 8) * 8)
+        return max(quantum, -(-bs_full // quantum) * quantum)
     return 128
 
 
@@ -319,7 +321,7 @@ def mppi_pallas_partials(
     """
     k = n_rollouts or cfg.n_rollouts
     if block_sublanes is None:
-        block_sublanes = _default_block_sublanes(k)
+        block_sublanes = _default_block_sublanes(k, sampler)
     bk = block_sublanes * _LANES
     num_blocks = pl.cdiv(k, bk)
     n = cfg.n_horizon
@@ -564,7 +566,7 @@ def mppi_pallas_batch_partials(
     b = xs.shape[0]
     k = n_rollouts or cfg.n_rollouts
     if block_sublanes is None:
-        block_sublanes = _default_block_sublanes(k)
+        block_sublanes = _default_block_sublanes(k, sampler)
     bk = block_sublanes * _LANES
     num_blocks = pl.cdiv(k, bk)
     n = cfg.n_horizon
@@ -894,7 +896,7 @@ def mppi_pallas_chain(
         seed_arg = jnp.asarray(base_seed, jnp.int32).reshape(1)
     k = n_rollouts or cfg.n_rollouts
     if block_sublanes is None:
-        block_sublanes = _default_block_sublanes(k)
+        block_sublanes = _default_block_sublanes(k, sampler)
     bk = block_sublanes * _LANES
     num_blocks = pl.cdiv(k, bk)
     n = cfg.n_horizon
