@@ -56,7 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ukf-layout", choices=["soa", "aos"], default=None,
                     help="fleet estimator layout: batch-minor SoA (lane-dense, default) "
                          "or the vmapped AoS reference path")
-    ap.add_argument("--sampler", choices=["box-muller", "clt4", "clt2q", "clt4a"], default=None,
+    ap.add_argument("--sampler",
+                    choices=["box-muller", "clt4", "clt2q", "clt4a", "box-muller-a"],
+                    default=None,
                     help="override the fleet MPPI kernel noise generator "
                          "(default: per-model choice — clt4 for cartpole4, exact for flagship6)")
     ap.add_argument("--control-period", type=float, default=None,

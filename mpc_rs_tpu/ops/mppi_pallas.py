@@ -58,7 +58,7 @@ def _default_block_sublanes(k: int, sampler: str = "box-muller") -> int:
     exact). The antithetic sampler needs sublane-tiled halves, so its
     blocks round up to 16 (exact-K masking keeps semantics at K < block)."""
     bs_full = -(-k // _LANES)
-    quantum = 16 if sampler == "clt4a" else 8
+    quantum = 16 if sampler in _ANTITHETIC_SAMPLERS else 8
     if bs_full <= 256:
         return max(quantum, -(-bs_full // quantum) * quantum)
     return 128
@@ -113,7 +113,8 @@ _TRI_A = 1.019453
 _TRI_B = -0.103499
 _TRI_C = 0.029151
 
-SAMPLERS = ("box-muller", "clt4", "clt2q", "clt4a")
+SAMPLERS = ("box-muller", "clt4", "clt2q", "clt4a", "box-muller-a")
+_ANTITHETIC_SAMPLERS = ("clt4a", "box-muller-a")
 
 
 def _fill_vbuf(v_buf, get_u, n, shape, std_dev, lo, hi, fast, sampler):
@@ -199,6 +200,36 @@ def _fill_vbuf(v_buf, get_u, n, shape, std_dev, lo, hi, fast, sampler):
             v_buf[t0] = jnp.clip(get_u(t0) + r * _cos(ang), lo, hi)
             if t0 + 1 < n:
                 v_buf[t0 + 1] = jnp.clip(get_u(t0 + 1) + r * _sin(ang), lo, hi)
+    elif sampler == "box-muller-a":
+        # antithetic Box-Muller: exact normal MARGINALS (unlike the clt
+        # family) with the whole transcendental pipeline at half width —
+        # the top half of the block perturbs +ε, the bottom half −ε.
+        # Requires block_sublanes % 16 == 0 (sublane-tiled halves).
+        bs_, lanes = shape
+        if bs_ % 16:
+            raise ValueError(
+                f"sampler 'box-muller-a' needs block_sublanes % 16 == 0, got {bs_}"
+            )
+        half = bs_ // 2
+        _log, _sqrt, _sin, _cos = _sampling_math(fast)
+        for t0 in range(0, n, 2):
+            bits = pltpu.prng_random_bits((2, half, lanes))
+            u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+            u2 = pltpu.bitcast(
+                (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                jnp.float32,
+            ) - 1.0
+            r = std_dev * _sqrt(-2.0 * _log(u1))
+            ang = _TWO_PI * u2
+            e0 = r * _cos(ang)
+            u_t = get_u(t0)
+            v_buf[t0, : half] = jnp.clip(u_t + e0, lo, hi)
+            v_buf[t0, half :] = jnp.clip(u_t - e0, lo, hi)
+            if t0 + 1 < n:
+                e1 = r * _sin(ang)
+                u_t1 = get_u(t0 + 1)
+                v_buf[t0 + 1, : half] = jnp.clip(u_t1 + e1, lo, hi)
+                v_buf[t0 + 1, half :] = jnp.clip(u_t1 - e1, lo, hi)
     else:
         raise ValueError(f"unknown sampler {sampler!r}; expected one of {SAMPLERS}")
 

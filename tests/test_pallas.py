@@ -359,3 +359,26 @@ def test_clt4a_rejects_narrow_blocks():
             jnp.zeros((8, 2), jnp.float32), jnp.zeros((8, 8), jnp.float32),
             interpret=True, block_sublanes=8, sampler="clt4a",
         )
+
+
+def test_batched_kernel_bm_antithetic_interpret():
+    """Antithetic Box-Muller ('box-muller-a') plumbing: the zero-stub PRNG
+    gives u1=1 → r=0 → ε=0, so every sample in BOTH halves must equal
+    clip(u_n) and the weighted average returns clip(u_n) exactly. Marginals
+    are exact normals on hardware (r,ang math identical to box-muller at
+    half width; ±ε equidistributed)."""
+    from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
+
+    step = dynamics.make_double_integrator(0.05)
+    b, k = 8, 2048
+    cfg = MppiConfig(n_horizon=8, n_rollouts=k, lambda_=2.5, std_dev=1.7, limit=(-3.0, 3.0))
+    u_ns = jnp.tile(jnp.linspace(-5.0, 5.0, 8, dtype=jnp.float32), (b, 1))
+    xs = jnp.zeros((b, 2), jnp.float32)
+    u, st = mppi_solve_pallas_batch(
+        cfg, step, costs.quad2, 2, jnp.arange(b, dtype=jnp.int32), xs, u_ns,
+        interpret=True, block_sublanes=16, sampler="box-muller-a",
+    )
+    assert (np.array(st) == 0).all()
+    np.testing.assert_allclose(
+        np.array(u), np.clip(np.array(u_ns), -3.0, 3.0), rtol=1e-5, atol=1e-6
+    )
