@@ -95,6 +95,37 @@ def golden_qp_mpc():
     np.savez(os.path.join(OUT, "qp_mpc.npz"), x=np.array(xs), u=np.array(us))
 
 
+def golden_box_qp_newton():
+    """Closed loop with the batched projected-Newton box-QP solver (f64,
+    both solve paths produce identical iterates — pinned via the masked-
+    Cholesky path; test checks the inverse-table path against the same
+    fixture)."""
+    from mpc_rs_tpu.controllers.qp import (
+        box_qp_newton,
+        build_condensed_qp,
+        qp_linear_term,
+    )
+    from mpc_rs_tpu.models import reference
+
+    p = CartPoleParams.single_wheel()
+    dt = 0.8 / 8
+    n = 8
+    a, b = dynamics.linear_ab(p, dt)
+    qp = build_condensed_qp(a, b, np.diag([5.0, 5.0, 1.0, 1.0]), n)
+    gen_ref = reference.make_gen_ref_raised_cosine(n)
+    aj, bj = jnp.asarray(a), jnp.asarray(b).reshape(-1)
+    x = jnp.asarray([0.5, 0.0, 0.1, 0.0])
+    u = jnp.zeros(n)
+    xs, us = [], []
+    for i in range(30):
+        bq = qp_linear_term(qp, x, gen_ref(x).reshape(-1))
+        u = box_qp_newton(qp.h, bq, u, -30.0, 30.0, iters=12)
+        x = aj @ x + bj * u[0]
+        xs.append(np.array(x))
+        us.append(float(u[0]))
+    np.savez(os.path.join(OUT, "box_qp_newton.npz"), x=np.array(xs), u=np.array(us))
+
+
 def golden_flagship_multirate():
     """Flagship closed multirate loop, fixed seed, BOTH controller-input
     modes (DEBUG_UKF true-state default and --use-ukf-estimate) — pins
@@ -210,6 +241,7 @@ if __name__ == "__main__":
     golden_mppi4_non_liner()
     golden_ukf_cartpole()
     golden_qp_mpc()
+    golden_box_qp_newton()
     golden_flagship_multirate()
     golden_commu_packet_chain()
     golden_pallas_external_noise()
