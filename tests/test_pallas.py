@@ -160,15 +160,24 @@ def test_sharded_pallas_interpret_on_cpu_mesh():
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs real TPU PRNG")
-def test_kernel_prng_statistics_tpu():
+@pytest.mark.parametrize("sampler,bs", [
+    ("box-muller", BS), ("clt4", BS), ("clt2q", BS),
+    ("clt4a", 16), ("box-muller-a", 16),
+])
+def test_kernel_prng_statistics_tpu(sampler, bs):
+    """Every in-kernel sampler's noise is mean-zero on real TPU hardware:
+    huge λ ⇒ uniform weights ⇒ u' ≈ mean(v) ≈ u_n. The antithetic variants
+    are exactly mean-zero per block by construction, so their tolerance is
+    the f32 accumulation floor, not the K^-1/2 sampling floor."""
     step = dynamics.make_double_integrator(0.05)
-    cfg = _cfg(64 * BS * LANES, lam=1e9)  # huge λ ⇒ uniform weights ⇒ u' ≈ mean(v) ≈ u_n
+    cfg = _cfg(64 * bs * LANES, lam=1e9)
     u, st = mppi_solve_pallas(
         cfg, step, costs.quad2, 2, 5, jnp.asarray([0.0, 0.0], jnp.float32),
-        jnp.zeros(N, jnp.float32), block_sublanes=BS,
+        jnp.zeros(N, jnp.float32), block_sublanes=bs, sampler=sampler,
     )
     assert int(st) == MppiStatus.OK
-    np.testing.assert_allclose(np.array(u), 0.0, atol=0.05)
+    atol = 1e-3 if sampler in ("clt4a", "box-muller-a") else 0.05
+    np.testing.assert_allclose(np.array(u), 0.0, atol=atol)
 
 
 def test_batched_kernel_interpret_structure():
