@@ -174,3 +174,37 @@ def test_qp_fleet_parks_population(solver):
     assert np.isfinite(x).all()
     assert (np.abs(x[:, 2]) < np.pi / 2).all()
     assert np.median(np.abs(x[:, 0])) < 0.3
+
+
+def test_qp_fleet_shards_over_scenario_mesh():
+    """The QP fleet is pure scenario-DP: placing the carry on an 8-device
+    'scenario' mesh partitions every tick op automatically (batch-elementwise
+    Newton iterations + shared (N,N) constants — no collectives needed).
+    One tick matches the single-device result to f32 tolerance; the closed
+    loop still parks the population (reduction-order drift compounds through
+    the chaotic plant, so multi-tick states are compared behaviorally)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mpc_rs_tpu.apps.fleet import build_qp_fleet
+    from mpc_rs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"scenario": 8})
+    tick, carry, dt = build_qp_fleet(64, seed=3)
+    sh = NamedSharding(mesh, P("scenario"))
+    carry_sh = (jax.device_put(carry[0], sh), jax.device_put(carry[1], sh), carry[2])
+
+    one = tick(carry)
+    one_sh = tick(carry_sh)
+    # partitioned vs whole-batch compilations fuse the QP matmuls
+    # differently → f32 rounding differences (measured ~1e-4 on x after one
+    # tick); there are no collectives, so anything beyond rounding is a bug
+    np.testing.assert_allclose(np.array(one_sh[0]), np.array(one[0]), atol=1e-3)
+    assert one_sh[0].sharding.is_equivalent_to(sh, ndim=2)
+
+    c = carry_sh
+    for _ in range(30):
+        c = tick(c)
+    x = np.array(c[0])
+    assert np.isfinite(x).all()
+    assert (np.abs(x[:, 2]) < np.pi / 2).all()
+    assert np.median(np.abs(x[:, 0])) < 0.3
