@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from mpc_rs_tpu.apps import commu_examples, estimator_examples, fleet as fleet_mod, mpc_examples, mppi_examples
+from mpc_rs_tpu.apps import commu_examples, estimator_examples, fleet as fleet_mod, mpc_examples, mppi_examples, serve as serve_mod
 
 EXAMPLES = {
     # MPPI family
@@ -35,6 +35,7 @@ EXAMPLES = {
     # op-mpc-tmp.rs is dead code in the reference (SURVEY §2c) — omitted.
     # beyond-parity workloads:
     "fleet": fleet_mod.fleet,  # scenario-fleet north star (BASELINE.json)
+    "serve": serve_mod.serve,  # fleet serving bridge: B robot links, one batched solve
 }
 
 

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="override the fleet MPPI kernel noise generator "
                          "(default: per-model choice — clt4 for cartpole4, exact for flagship6)")
+    ap.add_argument("--robots", type=int, default=8,
+                    help="serve: number of robot links (padded to a multiple of 8 on device)")
+    ap.add_argument("--stale-timeout", type=float, default=0.5,
+                    help="serve: seconds without a frame before a robot gets zero control")
     ap.add_argument("--control-period", type=float, default=None,
                     help="controller period [s] for the multirate loops; 0 = free-running "
                          "(tick every phys step, the reference's unthrottled control thread). "

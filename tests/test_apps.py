@@ -22,7 +22,7 @@ def _run(argv, tmp_path):
 def test_parser_lists_all_examples():
     from mpc_rs_tpu.apps.registry import EXAMPLES
 
-    assert len(EXAMPLES) == 24  # 23 reference binaries (sans dead op-mpc-tmp) + fleet
+    assert len(EXAMPLES) == 25  # 23 reference binaries (sans dead op-mpc-tmp) + fleet + serve
     ap = build_parser()
     args = ap.parse_args(["mppi2", "--k", "16"])
     assert args.example == "mppi2" and args.k == 16
@@ -88,3 +88,24 @@ def test_fleet_runs_and_checkpoints(tmp_path):
         tmp_path,
     )
     assert "resumed fleet" in text2
+
+
+@pytest.mark.skipif(
+    not __import__("mpc_rs_tpu.io.cobs", fromlist=["native_available"]).native_available(),
+    reason="needs native serial lib",
+)
+def test_serve_bridge_sim_mcus(tmp_path):
+    # 8 PTY fake robots, slow-motion twin (host-paced 1 kHz physics x 8
+    # threads cannot hold real time on a CI box), batched solve per tick
+    summary, out = _run(
+        ["serve", "--sim-mcu", "--robots", "8", "--k", "128",
+         "--t-end", "1.0", "--time-scale", "0.2", "--seed", "3"],
+        tmp_path,
+    )
+    assert summary["robots"] == 8
+    assert summary["ticks"] > 5  # batched solves actually ran
+    assert all(n > 0 for n in summary["rx"])  # every link delivered frames
+    assert all(n > 0 for n in summary["tx"])  # every robot got controls
+    assert "robots upright" in out
+    # the mppi4-commu stack balances from x0=[0,0,0.05,0]; no robot tips
+    assert all(th < np.radians(60.0) for th in summary["max_abs_theta"])
