@@ -301,9 +301,13 @@ def fleet(args):
         fast_math=getattr(args, "fast_math", None),
         ukf_layout=getattr(args, "ukf_layout", None) or "soa",
     )
-    ckpt_path = os.path.join(args.log_dir, "fleet", "fleet.npz")
+    ckpt_backend = getattr(args, "ckpt_backend", None) or "npz"
+    ckpt_name = "fleet.npz" if ckpt_backend == "npz" else "fleet_orbax"
+    ckpt_path = os.path.join(args.log_dir, "fleet", ckpt_name)
     if args.resume:
-        carry = load_pytree(args.resume, carry)
+        # backend inferred from the path (an orbax checkpoint is a directory)
+        resume_backend = "orbax" if os.path.isdir(args.resume) else "npz"
+        carry = load_pytree(args.resume, carry, backend=resume_backend)
         print(f"resumed fleet from {args.resume}")
 
     chunk = max(1, min(int(round(args.report_every / dt)), int(args.t_end / dt)))
@@ -333,7 +337,7 @@ def fleet(args):
             f"t={done*dt:6.1f}s  survival={surv:6.3f}  median max|θ|={float(np.median(th_max)):.4f}  "
             f"{b*chunk/wall:,.0f} scenario-ticks/s"
         )
-        save_pytree(ckpt_path, carry)
+        save_pytree(ckpt_path, carry, backend=ckpt_backend)
     el.print()
     print(f"checkpoint: {ckpt_path}")
     return carry

@@ -40,7 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--scenarios", type=int, default=1024, help="fleet batch size")
     ap.add_argument("--report-every", type=float, default=1.0, help="fleet report period [s]")
-    ap.add_argument("--resume", default=None, help="fleet checkpoint to resume from")
+    ap.add_argument("--resume", default=None, help="fleet checkpoint to resume from "
+                    "(.npz file or orbax directory; backend inferred)")
+    ap.add_argument("--ckpt-backend", choices=["npz", "orbax"], default="npz",
+                    help="fleet checkpoint format: single .npz (default) or orbax "
+                    "(atomic commit, sharded-array placement preserved)")
     ap.add_argument("--controller", choices=["mppi", "qp"], default="mppi",
                     help="fleet controller: sampling MPPI or batched gradient-MPC (condensed QP)")
     ap.add_argument("--qp-solver", choices=["newton", "panoc"], default="newton",

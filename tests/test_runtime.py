@@ -27,6 +27,44 @@ def test_checkpoint_roundtrip(tmp_path):
     assert restored["u_n"].dtype == jnp.float32
 
 
+def test_checkpoint_orbax_roundtrip_preserves_sharding(tmp_path):
+    # production backend: atomic commit + native sharded-jax.Array restore
+    # (a mesh-sharded fleet carry comes back WITH its placement, which the
+    # npz round-trip through host numpy cannot do)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("scenario",))
+    sh = NamedSharding(mesh, P("scenario"))
+    fleet_x = jax.device_put(jnp.arange(64.0, dtype=jnp.float32).reshape(16, 4), sh)
+    ckpt = {
+        "x": fleet_x,
+        "u_n": jnp.ones((16, 8), jnp.float32),
+        "key": jax.random.key(42),
+    }
+    path = str(tmp_path / "fleet_orbax")
+    save_pytree(path, ckpt, backend="orbax")
+    template = {
+        "x": fleet_x,  # carries the target sharding
+        "u_n": jnp.zeros((16, 8), jnp.float32),
+        "key": jax.random.key(0),
+    }
+    restored = load_pytree(path, template, backend="orbax")
+    np.testing.assert_array_equal(np.array(restored["x"]), np.array(fleet_x))
+    assert restored["x"].sharding == sh  # placement preserved
+    np.testing.assert_array_equal(
+        jax.random.key_data(restored["key"]), jax.random.key_data(ckpt["key"])
+    )
+    # keys restored as typed keys, usable directly
+    jax.random.normal(restored["key"], (2,))
+
+
+def test_checkpoint_unknown_backend(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        save_pytree(str(tmp_path / "x"), {"a": jnp.zeros(2)}, backend="hdf5")
+
+
 def test_checkpoint_leaf_mismatch(tmp_path):
     path = str(tmp_path / "bad.npz")
     save_pytree(path, {"a": jnp.zeros(3)})
