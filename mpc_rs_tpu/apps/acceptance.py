@@ -118,6 +118,14 @@ def chk_fleet(surv_min):
     return chk
 
 
+def chk_serve(ret, out):
+    import numpy as np
+
+    return (ret["robots"] == 8 and ret["ticks"] > 5
+            and all(n > 0 for n in ret["rx"]) and all(n > 0 for n in ret["tx"])
+            and all(th < np.radians(60.0) for th in ret["max_abs_theta"]))
+
+
 def chk_qp_fleet(park_min):
     def chk(ret, out):
         vals = [float(ln.split("parked=")[1].split()[0])
@@ -179,6 +187,10 @@ SPECS = {
     "fleet-flagship6": ("fleet", ["--model", "flagship6", "--scenarios", "24", "--t-end", "2",
                                   "--report-every", "2"], chk_fleet(0.90),
                         "flagship fleet survival ≥0.90 @B=24 incl. pulse (TPU full-scale: BENCH)"),
+    "serve": ("serve", ["--sim-mcu", "--robots", "8", "--k", "128", "--t-end", "1.0",
+                        "--time-scale", "0.2"], chk_serve,
+              "serving bridge: 8 PTY robots, one batched solve/tick, every link "
+              "gets frames+controls, all upright (0.2× slow-motion twin)"),
     "fleet-qp": ("fleet", ["--controller", "qp", "--scenarios", "64", "--t-end", "3"],
                  chk_qp_fleet(0.95),
                  "QP fleet parks ≥0.95 and 100% upright @B=64 in 3 s "
