@@ -61,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fleet estimator layout: batch-minor SoA (lane-dense, default) "
                          "or the vmapped AoS reference path")
     ap.add_argument("--sampler",
-                    choices=["box-muller", "clt4", "clt2q", "clt4a", "box-muller-a"],
+                    choices=["box-muller", "clt4", "clt2q", "clt4a", "box-muller-a",
+                             "wallace"],
                     default=None,
                     help="override the fleet MPPI kernel noise generator "
                          "(default: per-model choice — clt4 for cartpole4, exact for flagship6)")

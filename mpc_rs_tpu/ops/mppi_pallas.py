@@ -113,8 +113,13 @@ _TRI_A = 1.019453
 _TRI_B = -0.103499
 _TRI_C = 0.029151
 
-SAMPLERS = ("box-muller", "clt4", "clt2q", "clt4a", "box-muller-a")
+SAMPLERS = ("box-muller", "clt4", "clt2q", "clt4a", "box-muller-a", "wallace")
 _ANTITHETIC_SAMPLERS = ("clt4a", "box-muller-a")
+
+# Wallace-style recycled Box-Muller: exact-marginal pool refreshed every
+# _WALLACE_PERIOD steps; in-between steps are orthonormal sign/roll mixes
+# of the pool (no transcendentals). See the `wallace` branch below.
+_WALLACE_PERIOD = 8
 
 
 def _fill_vbuf(v_buf, get_u, n, shape, std_dev, lo, hi, fast, sampler):
@@ -230,6 +235,51 @@ def _fill_vbuf(v_buf, get_u, n, shape, std_dev, lo, hi, fast, sampler):
                 u_t1 = get_u(t0 + 1)
                 v_buf[t0 + 1, : half] = jnp.clip(u_t1 + e1, lo, hi)
                 v_buf[t0 + 1, half :] = jnp.clip(u_t1 - e1, lo, hi)
+    elif sampler == "wallace":
+        # Recycled Box-Muller ("Wallace-style" — the DESIGN §9 remaining
+        # lever). One exact Box-Muller POOL (a, b) is drawn per
+        # _WALLACE_PERIOD steps; the in-between steps emit
+        #   z_i = (±a_i + b_{(i+r_t) mod L}) / √2
+        # — an orthonormal combination of the pool's iid N(0,1) entries
+        # with FRESH per-element random sign bits each step. Since a_i and
+        # b_j are independent exact normals for every (i, j), each step's
+        # MARGINAL is exactly N(0,1) (unlike clt4's truncated cubic), while
+        # only 2/_WALLACE_PERIOD of the steps pay transcendentals. Steps
+        # within a window are pairwise UNcorrelated (the sign bits are
+        # zero-mean and independent of the pool) but not independent
+        # (shared pool ⇒ variance clustering) — exploration-noise grade,
+        # gated by the same closed-loop survival tests as clt4.
+        _log, _sqrt, _sin, _cos = _sampling_math(fast)
+        sd = np.float32(std_dev)
+        mix = np.float32(std_dev / math.sqrt(2.0))
+        lanes = shape[-1]
+        a = b = None
+        for t in range(n):
+            ph = t % _WALLACE_PERIOD
+            if ph == 0:
+                bits = pltpu.prng_random_bits((2,) + shape)
+                u1 = _bits_to_unit_open(pltpu.bitcast(bits[0], jnp.uint32))
+                u2 = pltpu.bitcast(
+                    (pltpu.bitcast(bits[1], jnp.uint32) >> 9) | np.uint32(0x3F800000),
+                    jnp.float32,
+                ) - 1.0
+                r = _sqrt(-2.0 * _log(u1))
+                ang = _TWO_PI * u2
+                a = r * _cos(ang)
+                b = r * _sin(ang)
+                z = sd * a
+            elif ph == 1:
+                z = sd * b
+            else:
+                w = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+                sa = pltpu.bitcast(
+                    pltpu.bitcast(a, jnp.uint32) ^ (w & np.uint32(0x80000000)),
+                    jnp.float32,
+                )
+                # distinct nonzero lane rotations per phase vary the pairing
+                shift = (29 * ph + 13) % lanes or 1
+                z = mix * (sa + pltpu.roll(b, shift, len(shape) - 1))
+            v_buf[t] = jnp.clip(get_u(t) + z, lo, hi)
     else:
         raise ValueError(f"unknown sampler {sampler!r}; expected one of {SAMPLERS}")
 
