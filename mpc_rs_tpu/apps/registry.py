@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from mpc_rs_tpu.apps import commu_examples, estimator_examples, fleet as fleet_mod, mpc_examples, mppi_examples, serve as serve_mod
+from mpc_rs_tpu.apps import commu_examples, estimator_examples, fleet as fleet_mod, mpc_examples, mppi_examples, serve as serve_mod, tune as tune_mod
 
 EXAMPLES = {
     # MPPI family
@@ -36,6 +36,7 @@ EXAMPLES = {
     # beyond-parity workloads:
     "fleet": fleet_mod.fleet,  # scenario-fleet north star (BASELINE.json)
     "serve": serve_mod.serve,  # fleet serving bridge: B robot links, one batched solve
+    "tune": tune_mod.tune,  # batched (λ, σ)×seeds closed-loop hyperparameter sweep
 }
 
 

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="override the fleet MPPI kernel noise generator "
                          "(default: per-model choice — clt4 for cartpole4, exact for flagship6)")
+    ap.add_argument("--lambdas", default="0.1,0.5,1.4,2.5",
+                    help="tune: comma-separated MPPI λ grid")
+    ap.add_argument("--sigmas", default="1,3,10",
+                    help="tune: comma-separated MPPI σ grid")
+    ap.add_argument("--tune-seeds", type=int, default=8,
+                    help="tune: episodes (seeds) per grid cell")
     ap.add_argument("--robots", type=int, default=8,
                     help="serve: number of robot links (padded to a multiple of 8 on device)")
     ap.add_argument("--stale-timeout", type=float, default=0.5,

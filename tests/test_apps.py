@@ -22,7 +22,7 @@ def _run(argv, tmp_path):
 def test_parser_lists_all_examples():
     from mpc_rs_tpu.apps.registry import EXAMPLES
 
-    assert len(EXAMPLES) == 25  # 23 reference binaries (sans dead op-mpc-tmp) + fleet + serve
+    assert len(EXAMPLES) == 26  # 23 reference binaries (sans dead op-mpc-tmp) + fleet + serve + tune
     ap = build_parser()
     args = ap.parse_args(["mppi2", "--k", "16"])
     assert args.example == "mppi2" and args.k == 16
@@ -109,3 +109,32 @@ def test_serve_bridge_sim_mcus(tmp_path):
     assert "robots upright" in out
     # the mppi4-commu stack balances from x0=[0,0,0.05,0]; no robot tips
     assert all(th < np.radians(60.0) for th in summary["max_abs_theta"])
+
+
+def test_tune_sweep_grid(tmp_path):
+    # 2x2 grid x 3 seeds in one vmapped device call; the reference operating
+    # point (lambda=0.5, sigma=3 — examples/mppi4.rs:11-13) must survive,
+    # and a no-exploration cell (sigma=0.01) must not regulate as well.
+    cells, out = _run(
+        ["tune", "--lambdas", "0.5,1.4", "--sigmas", "0.01,3",
+         "--tune-seeds", "3", "--k", "256", "--t-end", "2.0"],
+        tmp_path,
+    )
+    assert len(cells) == 4
+    by_key = {(c["lambda"], c["sigma"]): c for c in cells}
+    ref = by_key[(0.5, 3.0)]
+    assert ref["survival"] == 1.0
+    assert np.isfinite(ref["mean_cost"])
+    assert 1.0 <= ref["mean_ess"] <= 256.0
+    # sigma=0.01 cannot explore: strictly worse cost at matched lambda
+    assert by_key[(0.5, 0.01)]["mean_cost"] > ref["mean_cost"]
+    assert "best cell" in out
+    assert (tmp_path / "tune" / "tune.json").exists()
+
+
+def test_tune_deterministic():
+    from mpc_rs_tpu.apps.tune import sweep_grid
+
+    a = sweep_grid([0.5], [3.0], seeds=2, k=128, n_ticks=8)
+    b = sweep_grid([0.5], [3.0], seeds=2, k=128, n_ticks=8)
+    assert a == b  # explicit keys: the sweep is reproducible, unlike the reference
