@@ -1,14 +1,16 @@
-"""Flagship fleet tick-split diagnostic: where do the ~1.77 ms/tick go?
+"""Flagship fleet tick-split diagnostic: where does the tick time go?
 
-Times, at the flagship operating point (B=256, K=8192, exact Box-Muller):
+Times, at the flagship fleet's CURRENT default operating point (B=1024,
+K=8192, fast-math dynamics + clt4 sampler, SoA batch-minor estimator with
+the Jacobi eigen root — the same constructors apps/fleet.py uses):
   mppi   — the scenario-batched fused kernel alone (per tick)
-  ukf    — vmapped predict+update (Jacobi eigen root) alone (per tick)
+  ukf    — SoA predict+update alone (per tick)
   tick   — the full fleet tick (MPPI + plant + sensor + UKF + glue)
 
 Marginal timing over two scan lengths cancels the tunneled-dispatch RTT
 (bench.py methodology). Run on the real chip:
 
-  python scripts/diag_flagship_tick.py
+  PYTHONPATH=. python scripts/diag_flagship_tick.py [B]
 """
 
 from __future__ import annotations
@@ -18,15 +20,19 @@ import time
 import jax
 import jax.numpy as jnp
 
-from mpc_rs_tpu.apps.fleet import build_fleet
+import sys
+
+from mpc_rs_tpu.apps.fleet import _componentize_hx, build_fleet
 from mpc_rs_tpu.controllers.mppi import MppiConfig
-from mpc_rs_tpu.estimators.ukf import ukf_init, ukf_predict, ukf_update
+from mpc_rs_tpu.estimators import ukf_soa
+from mpc_rs_tpu.estimators.ukf import ukf_init
 from mpc_rs_tpu.models import costs, dynamics, noise, observation
 from mpc_rs_tpu.models.params import CartPoleParams
 from mpc_rs_tpu.ops.mppi_pallas import mppi_pallas_batch_partials
 from mpc_rs_tpu.parallel.mesh import make_mesh
 
-B, K = 256, 8192
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+K = 8192
 
 
 def marginal(run, carry, n_short=30, n_long=240, reps=3):
@@ -53,8 +59,8 @@ def main():
     p = CartPoleParams.two_wheel()
     dt = 0.01
 
-    # --- MPPI kernel alone
-    ctrl_step = dynamics.make_flagship4(p, 1.2 / 8)
+    # --- MPPI kernel alone (fleet defaults: fast-math dynamics + clt4)
+    ctrl_step = dynamics.make_flagship4(p, 1.2 / 8, fast=True)
     cost = costs.make_diag4(0.1, 0.1, 1.0, 0.5)
     cfg = MppiConfig(n_horizon=8, n_rollouts=K, lambda_=1.4, std_dev=4.0, limit=(-10.0, 10.0))
 
@@ -66,6 +72,7 @@ def main():
                 parts = mppi_pallas_batch_partials(
                     cfg, ctrl_step, cost, 4,
                     jnp.full((B,), i, jnp.int32), xs, u_ns,
+                    fast=True, sampler="clt4",
                 )
                 return (xs, parts.uw / jnp.maximum(parts.s, 1.0)[:, None]), None
 
@@ -77,38 +84,35 @@ def main():
     carry_m = (jnp.zeros((B, 4), jnp.float32), jnp.zeros((B, 8), jnp.float32))
     sec_m = marginal(run_mppi, carry_m)
 
-    # --- UKF alone (Jacobi root, the fleet default)
+    # --- UKF alone (fleet defaults: SoA batch-minor layout, Jacobi root)
     plant6 = dynamics.make_flagship6(p)
-
-    def ukf_fx(xv, u):
-        out = plant6(*(xv[..., i] for i in range(6)), u, dt, 0.0)
-        return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
-
+    ukf_fx_c = lambda xs, u: tuple(jnp.broadcast_arrays(*plant6(*xs, u, dt, 0.0)))
     hx = observation.make_hx_imu6(p)
+    hx_c = _componentize_hx(hx, 5)
     sens = jnp.asarray([200.0, 200.0, 10.0, 0.05, 0.05], jnp.float32)
+    q6 = noise.gen_q6(jnp.float32(2.15 * dt)).astype(jnp.float32)
     params, ukf0 = ukf_init(
         jnp.zeros(6, jnp.float32), 0.1 * jnp.eye(6, dtype=jnp.float32),
-        noise.gen_q6(jnp.float32(2.15 * dt)).astype(jnp.float32),
-        jnp.diag(sens), sqrt_method="jacobi",
+        q6, jnp.diag(sens), sqrt_method="jacobi",
     )
     ukf_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), ukf0)
+    soa0 = ukf_soa.from_batched(ukf_b.x, ukf_b.p, ukf_b.sigma_f)
 
     def run_ukf(n):
         @jax.jit
         def f(c):
-            def body(c, i):
-                def one(s):
-                    s = ukf_predict(params, s, jnp.float32(0.1), ukf_fx)
-                    return ukf_update(params, s, hx(s.x) + 0.01 * i, hx)
+            def body(s, i):
+                s = ukf_soa.soa_predict(params, s, jnp.full((B,), 0.1, jnp.float32),
+                                        ukf_fx_c, q6)
+                z = hx_c(tuple(xi + 0.01 * i for xi in s.x))
+                return ukf_soa.soa_update(params, s, z, hx_c, jnp.diag(sens)), None
 
-                return jax.vmap(one)(c), None
-
-            c, _ = jax.lax.scan(body, c, jnp.arange(n, dtype=jnp.float32))
-            return c.x
+            s, _ = jax.lax.scan(body, c, jnp.arange(n, dtype=jnp.float32))
+            return s.x[0]
 
         return f
 
-    sec_u = marginal(run_ukf, ukf_b)
+    sec_u = marginal(run_ukf, soa0)
 
     # --- full tick
     mesh = make_mesh({"scenario": 1, "rollouts": 1}, devices=jax.devices()[:1])
