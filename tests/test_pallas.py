@@ -162,7 +162,7 @@ def test_sharded_pallas_interpret_on_cpu_mesh():
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs real TPU PRNG")
 @pytest.mark.parametrize("sampler,bs", [
     ("box-muller", BS), ("clt4", BS), ("clt2q", BS),
-    ("clt4a", 16), ("box-muller-a", 16),
+    ("clt4a", 16), ("box-muller-a", 16), ("wallace", BS),
 ])
 def test_kernel_prng_statistics_tpu(sampler, bs):
     """Every in-kernel sampler's noise is mean-zero on real TPU hardware:
