@@ -137,6 +137,13 @@ def chk_qp_fleet(park_min):
     return chk
 
 
+def chk_tune(ret, out):
+    ref = [c for c in ret if c["lambda"] == 0.5 and c["sigma"] == 3.0]
+    return (len(ref) == 1 and ref[0]["survival"] == 1.0
+            and _finite(ref[0]["mean_cost"]) and 1.0 <= ref[0]["mean_ess"] <= 256.0
+            and "best cell" in out)
+
+
 # ---- spec table -----------------------------------------------------------
 # (workload, extra argv, check, note). K reduced for CPU where marked; the
 # pass criterion itself is the reference's.
@@ -191,6 +198,10 @@ SPECS = {
                         "--time-scale", "0.2"], chk_serve,
               "serving bridge: 8 PTY robots, one batched solve/tick, every link "
               "gets frames+controls, all upright (0.2× slow-motion twin)"),
+    "tune": ("tune", ["--lambdas", "0.5,1.4", "--sigmas", "3", "--tune-seeds", "2",
+                      "--k", "256", "--t-end", "2"], chk_tune,
+             "batched sweep: the reference operating point (λ=0.5, σ=3) survives "
+             "every episode with finite cost and in-range softmax ESS"),
     "fleet-qp": ("fleet", ["--controller", "qp", "--scenarios", "64", "--t-end", "3"],
                  chk_qp_fleet(0.95),
                  "QP fleet parks ≥0.95 and 100% upright @B=64 in 3 s "
