@@ -65,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "wallace"],
                     default=None,
                     help="override the fleet MPPI kernel noise generator "
-                         "(default: per-model choice — clt4 for cartpole4, exact for flagship6)")
+                         "(default: clt4 for both fleet models; box-muller when "
+                         "cartpole4 runs with --no-fast-math)")
     ap.add_argument("--lambdas", default="0.1,0.5,1.4,2.5",
                     help="tune: comma-separated MPPI λ grid")
     ap.add_argument("--sigmas", default="1,3,10",

@@ -58,17 +58,25 @@ def make_sweep(*, k: int, n_horizon: int = 8, dt: float = 0.1,
         u0 = jnp.zeros(n_horizon, jnp.float32)
 
         def tick(carry, key):
-            x, u_n, tipped, c_acc, ess_acc = carry
+            x, u_n, tipped, c_acc, ess_acc, alive = carry
             r = mppi_solve(cfg, step, cost, key, x, u_n)
             x = step(*x, r.u_n[0])
+            was_tipped = tipped
             tipped = tipped | (jnp.abs(x[2]) > DEG60)  # examples/mppi4.rs:50-53
             c_acc = c_acc + cost(*x)
-            return (x, r.u_n, tipped, c_acc, r.ess + ess_acc), None
+            # ESS is a λ-health signal for the *upright* loop: stop
+            # accumulating once the tip-over latch fires so post-fall solves
+            # can't skew the per-cell mean (it sits next to mean_cost, which
+            # is survivor-conditioned).
+            ess_acc = ess_acc + jnp.where(was_tipped, 0.0, r.ess)
+            alive = alive + (~was_tipped).astype(jnp.float32)
+            return (x, r.u_n, tipped, c_acc, ess_acc, alive), None
 
         keys = jax.random.split(jax.random.key(seed), n_ticks)
-        init = (x0, u0, jnp.bool_(False), jnp.float32(0.0), jnp.float32(0.0))
-        (x, _, tipped, c_acc, ess_acc), _ = jax.lax.scan(tick, init, keys)
-        return ~tipped, c_acc, ess_acc / n_ticks
+        init = (x0, u0, jnp.bool_(False), jnp.float32(0.0), jnp.float32(0.0),
+                jnp.float32(0.0))
+        (x, _, tipped, c_acc, ess_acc, alive), _ = jax.lax.scan(tick, init, keys)
+        return ~tipped, c_acc, ess_acc / jnp.maximum(alive, 1.0)
 
     return jax.jit(jax.vmap(episode))
 
@@ -96,10 +104,12 @@ def sweep_grid(lambdas, sigmas, *, seeds: int, k: int, n_ticks: int = 50,
                 "lambda": float(lam),
                 "sigma": float(sig),
                 "survival": float(s.mean()),
-                # cost averaged over surviving episodes only (a tipped
-                # episode's trajectory after the guard is meaningless)
-                "mean_cost": float(costt[i, j][s].mean()) if s.any() else float("inf"),
-                "mean_ess": float(ess[i, j].mean()),
+                # cost and ESS averaged over surviving episodes only (a
+                # tipped episode's trajectory after the guard is
+                # meaningless); None — serialized as JSON null, keeping
+                # tune.json strict-JSON parseable — when every seed tipped
+                "mean_cost": float(costt[i, j][s].mean()) if s.any() else None,
+                "mean_ess": float(ess[i, j][s].mean()) if s.any() else None,
                 "seeds": int(s.size),
             })
     return cells
@@ -119,11 +129,16 @@ def tune(args):
           f"— {len(cells) * args.tune_seeds} episodes in one device call")
     print(f"{'lambda':>8} {'sigma':>8} {'survival':>9} {'mean_cost':>12} {'mean_ESS':>9}")
     for c in cells:
+        cost_s = f"{c['mean_cost']:12.2f}" if c["mean_cost"] is not None else f"{'—':>12}"
+        ess_s = f"{c['mean_ess']:9.1f}" if c["mean_ess"] is not None else f"{'—':>9}"
         print(f"{c['lambda']:8.3g} {c['sigma']:8.3g} {c['survival']:9.2f} "
-              f"{c['mean_cost']:12.2f} {c['mean_ess']:9.1f}")
-    best = min(cells, key=lambda c: (-c["survival"], c["mean_cost"]))
+              f"{cost_s} {ess_s}")
+    inf = float("inf")
+    best = min(cells, key=lambda c: (-c["survival"],
+                                     inf if c["mean_cost"] is None else c["mean_cost"]))
+    best_cost = "—" if best["mean_cost"] is None else f"{best['mean_cost']:.1f}"
     print(f"[tune] best cell: lambda={best['lambda']:g} sigma={best['sigma']:g} "
-          f"(survival {best['survival']:.2f}, cost {best['mean_cost']:.1f})")
+          f"(survival {best['survival']:.2f}, cost {best_cost})")
 
     out_dir = os.path.join(args.log_dir, "tune")
     os.makedirs(out_dir, exist_ok=True)

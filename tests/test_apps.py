@@ -127,7 +127,10 @@ def test_tune_sweep_grid(tmp_path):
     assert np.isfinite(ref["mean_cost"])
     assert 1.0 <= ref["mean_ess"] <= 256.0
     # sigma=0.01 cannot explore: strictly worse cost at matched lambda
-    assert by_key[(0.5, 0.01)]["mean_cost"] > ref["mean_cost"]
+    # (mean_cost is None — JSON null — when every seed tipped, which counts
+    # as worse than any finite survivor cost)
+    no_explore = by_key[(0.5, 0.01)]["mean_cost"]
+    assert no_explore is None or no_explore > ref["mean_cost"]
     assert "best cell" in out
     assert (tmp_path / "tune" / "tune.json").exists()
 
