@@ -50,6 +50,9 @@ class SimMcu:
         p = CartPoleParams.two_wheel() if mode == "sensor3" else CartPoleParams.single_wheel()
         self.params = p
         if mode == "sensor3":
+            # fake-MCU truth plant: the physically-consistent cos(θ)
+            # denominator (mpc-ukf-commu.rs:151-166 form); the estimator
+            # under test carries each example's own fx variant
             self.plant = dynamics.make_accel6(p, with_force=False)
             self.hx = observation.make_hx_imu6(p)
             self.x = np.zeros(6)
@@ -206,7 +209,9 @@ def mppi4_ukf_commu(args):
     cfg = MppiConfig(n_horizon=n, n_rollouts=k, lambda_=2.0, std_dev=2.0, limit=(-10.0, 10.0))
     ctrl_step = dynamics.make_commu4(p, dt)
     solve = make_mppi_solver(cfg, ctrl_step, costs.commu4, 4, args.backend)
-    plant6 = dynamics.make_accel6(p, with_force=False)
+    # UKF fx = this example's own dynamics_short incl. its cos(ẍ)
+    # denominator quirk (mppi4-ukf-commu.rs:137-153)
+    plant6 = dynamics.make_accel6(p, with_force=False, quirk_denominator=True)
     hx = observation.make_hx_imu6(p)
     r_diag = jnp.asarray([200.0, 200.0, 20.0, 0.5, 0.5], jnp.float32)
     phy = (50.0, 50.0, 10.0)  # mppi4-ukf-commu.rs:28

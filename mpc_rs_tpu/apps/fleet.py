@@ -58,7 +58,8 @@ def _componentize_hx(hx_vec, n_obs):
 def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False,
                 fast_math: bool | None = None, sqrt_method: str | None = None,
-                sampler: str | None = None, ukf_layout: str = "soa"):
+                sampler: str | None = None, ukf_layout: str = "soa",
+                pallas_interpret: bool = False):
     # fast_math=None → per-model default: ON for both models (survival
     # validated per model at B=1024 over multiple seeds — see below).
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
@@ -118,6 +119,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         tick = make_scenario_step(
             cfg, ctrl_step, cost, plant_fx, params, ukf_fx, hx, sens, mesh,
             backend="pallas" if backend == "pallas" else "jnp",
+            pallas_interpret=pallas_interpret,
             n_state=4, state_slice=(0, 1, 3, 4),
             n_substeps=1, dt_tick=dt, ukf_p_reset=p0,
             feed_true_state=feed_true_state, fast_math=fast_flag,
@@ -158,6 +160,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         tick = make_scenario_step(
             cfg, ctrl_step, costs.shaped4, fx, params, fx, hx, sens, mesh,
             backend="pallas" if backend == "pallas" else "jnp", n_state=4,
+            pallas_interpret=pallas_interpret,
             n_substeps=n_substeps, dt_tick=dt, ukf_p_reset=p0,
             feed_true_state=feed_true_state, fast_math=fast_math,
             # transcendental-free CLT4 exploration noise: +33% kernel

@@ -207,13 +207,21 @@ def make_flagship6(p: CartPoleParams):
 # mpc-ukf-s / mppi4-ukf-commu variant (explicit, ẍ as a state)
 # ---------------------------------------------------------------------------
 
-def make_accel6(p: CartPoleParams, with_force: bool = True):
-    """6-state explicit model — mpc-ukf-s.rs:135-155, mppi4-ukf-commu.rs:137-153.
+def make_accel6(p: CartPoleParams, with_force: bool = True,
+                quirk_denominator: bool = False):
+    """6-state explicit model — three reference variants share this shape.
 
     State [x, dx, ddx, theta, dtheta, ddtheta]; *all* reads from the old
-    state (r0 += x1*dt, r1 += x2*dt, r2 = ddx(old), ...). ``with_force``
-    keeps the disturbance-force terms of mpc-ukf-s.rs (mppi4-ukf-commu's
-    copy omits f).
+    state (r0 += x1*dt, r1 += x2*dt, r2 = ddx(old), ...).
+
+    - mpc-ukf-s.rs:135-155:       ``with_force=True``  (denominator cos θ)
+    - mpc-ukf-commu.rs:151-166:   ``with_force=False`` (denominator cos θ)
+    - mppi4-ukf-commu.rs:137-153: ``with_force=False, quirk_denominator=True``
+
+    ``quirk_denominator`` replicates (not "fixes") mppi4-ukf-commu.rs:139,
+    which builds the denominator with ``cos(x[2])`` — the *acceleration*
+    slot, a leftover from the 4-state copy where x[2] was θ — i.e.
+    d = D1 − (M2 L cos ẍ)²; the other two examples use ``cos(x[3])`` (θ).
     """
     d1 = p.d1_two
     ml = p.m2 * p.l
@@ -221,7 +229,8 @@ def make_accel6(p: CartPoleParams, with_force: bool = True):
 
     def step(x0, x1, x2, x3, x4, x5, u, dt, f=0.0):
         c, s = jnp.cos(x3), jnp.sin(x3)
-        d = d1 - (ml * c) ** 2
+        d_cos = jnp.cos(x2) if quirk_denominator else c
+        d = d1 - (ml * d_cos) ** 2
         n0 = x0 + x1 * dt
         n1 = x1 + x2 * dt
         term1 = mll_j2 * ml / d * x4 * x4 * s
@@ -277,14 +286,18 @@ def make_pen6(p: CartPoleParams, dt: float):
     """6-state single-wheel model — examples/ukf-pen3.rs:34-51.
 
     State [x, dx, ddx, theta, dtheta, ddtheta]; explicit; single-wheel
-    (no factor 2); d = D0 − (M2 L cosθ)², forces via x[3]=theta, x[4]=dtheta.
+    (no factor 2); forces via x[3]=theta, x[4]=dtheta.
+
+    Reference quirk replicated (not "fixed"): ukf-pen3.rs:37 builds the
+    denominator with ``cos(x[2])`` — the ẍ slot, a leftover from the
+    4-state copy where x[2] was θ — i.e. d = D0 − (M2 L cos ẍ)².
     """
     d0 = p.d0
     ml = p.m2 * p.l
 
     def step(x0, x1, x2, x3, x4, x5, u):
         c, s = jnp.cos(x3), jnp.sin(x3)
-        d = d0 - (ml * c) ** 2
+        d = d0 - (ml * jnp.cos(x2)) ** 2  # ukf-pen3.rs:37 quirk: cos(ẍ)
         n0 = x0 + x1 * dt
         n1 = x1 + x2 * dt
         thrust = p.kt * u / p.r_w + ml * x4 * x4 * s

@@ -161,7 +161,8 @@ def golden_commu_packet_chain():
     from mpc_rs_tpu.models import noise as noise_mod
 
     p = CartPoleParams.two_wheel()
-    plant6 = dynamics.make_accel6(p, with_force=False)
+    # mppi4-ukf-commu's own fx, incl. its cos(ẍ) denominator quirk (:139)
+    plant6 = dynamics.make_accel6(p, with_force=False, quirk_denominator=True)
     hx = observation.make_hx_imu6(p)
     r_diag = jnp.asarray([200.0, 200.0, 20.0, 0.5, 0.5])
     phy = (50.0, 50.0, 10.0)
