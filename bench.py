@@ -25,6 +25,15 @@ import jax.numpy as jnp
 
 BASELINE_STEPS_PER_S = 64e6
 
+# Self-audit anchors (DESIGN §9, measured on v5e):
+# - VPU elementwise peak: 8×128 lanes at ~940 MHz.
+# - Op-mix floors: the converged lane-cycles/rollout-step of each tier's
+#   kernel at its measured roofline (fast+clt4 ≈ 31 incl. hw-rcp; exact
+#   i.i.d. Box-Muller ≈ 49). roofline_pct = floor / measured-cycles — a
+#   regression shows up as pct < 100 without consulting DESIGN.
+VPU_LANE_OPS_PER_S = 962e9
+OPMIX_CYCLES_FLOOR = {"fast": 31.0, "exact": 49.0}
+
 
 def _marginal_scan_time(make_run, x0, u0, n_short, n_long, reps=3):
     """Per-solve marginal time from two scan lengths; the n_long runs must
@@ -135,6 +144,7 @@ def main():
             sec_exact = time_chain(cfg, j_short, j_long, fast=False)
             results[k] = dict(us_per_solve=sec * 1e6, solves_per_s=1.0 / sec,
                               steps_per_s=k * 8 / sec,
+                              steps_per_s_exact=k * 8 / sec_exact,
                               us_per_solve_exact=sec_exact * 1e6)
         else:
             n_short, n_long = (4, 16) if k > 20000 else (16, 64)
@@ -174,8 +184,64 @@ def main():
         "k819200_rollout_steps_per_s": round(results[819200]["steps_per_s"], 0),
         "k819200_vs_baseline_steps": round(results[819200]["steps_per_s"] / BASELINE_STEPS_PER_S, 2),
     }
+    if on_tpu:
+        # self-auditing roofline fields (VERDICT r2 #8): lane-cycles per
+        # rollout-step and % of the documented op-mix floor, BOTH tiers
+        for tier, key in (("fast", "steps_per_s"), ("exact", "steps_per_s_exact")):
+            sps = results[819200][key]
+            cyc = VPU_LANE_OPS_PER_S / sps
+            suffix = "" if tier == "fast" else "_exact"
+            out[f"k819200_lane_cycles_per_step{suffix}"] = round(cyc, 1)
+            out[f"k819200_roofline_pct{suffix}"] = round(
+                100.0 * OPMIX_CYCLES_FLOOR[tier] / cyc, 1)
+        out["k819200_rollout_steps_per_s_exact"] = round(
+            results[819200]["steps_per_s_exact"], 0)
+        try:
+            out.update(_bench_merge_round())
+        except Exception as e:
+            out["merge_error"] = str(e)[:120]
     out.update(fleet)
     print(json.dumps(out))
+
+
+def _bench_merge_round(n_iter: int = 200000):
+    """1-chip anchor for the multi-chip log-sum-exp merge (VERDICT r2 #5):
+    the COMPUTE half of the one-collective-round combine — pmax/psum of
+    (m, s, uw·N) partials across rollout shards (parallel/sharded_mppi.py /
+    parallel/scenario.py merge()). Measured as a 2-shard self-merge chained
+    under lax.scan; the ICI wire time is modeled in DESIGN §12 on top of
+    this anchor (payload: (2+N)·4 B per solve, (2+N)·4·B per fleet tick)."""
+    lam = 1.4
+
+    def merge2(a, b):
+        # two-shard log-sum-exp combine: m, s scalars-per-scenario; uw (B, N)
+        m_g = jnp.maximum(a[0], b[0])
+        sa = jnp.exp((a[0] - m_g) / lam)
+        sb = jnp.exp((b[0] - m_g) / lam)
+        return (m_g, a[1] * sa + b[1] * sb,
+                a[2] * sa[..., None] + b[2] * sb[..., None])
+
+    results = {}
+    for b in (1, 1024):
+        pa = (jnp.zeros((b,)), jnp.ones((b,)), jnp.ones((b, 8)))
+
+        def make(n):
+            @jax.jit
+            def run(p):
+                def body(p, i):
+                    q = (p[0] + 1e-6 * i, p[1], p[2])
+                    return merge2(p, q), None
+                p, _ = jax.lax.scan(body, p, jnp.arange(n, dtype=jnp.float32))
+                return p
+            return run
+
+        short, long_ = make(n_iter // 10), make(n_iter)
+        float(jnp.sum(short(pa)[2])); float(jnp.sum(long_(pa)[2]))
+        t0 = time.perf_counter(); float(jnp.sum(short(pa)[2])); e1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(jnp.sum(long_(pa)[2])); e2 = time.perf_counter() - t0
+        per = max(0.0, (e2 - e1) / (n_iter - n_iter // 10))
+        results[f"merge_compute_us_b{b}"] = round(per * 1e6, 3)
+    return results
 
 
 def _bench_fleet(model: str, *, ticks: int, batch: int = 1024,

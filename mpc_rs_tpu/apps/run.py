@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve: number of robot links (padded to a multiple of 8 on device)")
     ap.add_argument("--stale-timeout", type=float, default=0.5,
                     help="serve: seconds without a frame before a robot gets zero control")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="serve: batched solves kept in flight (0 = synchronous). Each "
+                         "level hides one dispatch RTT behind the control period at the "
+                         "cost of one period of extra control latency")
     ap.add_argument("--control-period", type=float, default=None,
                     help="controller period [s] for the multirate loops; 0 = free-running "
                          "(tick every phys step, the reference's unthrottled control thread). "

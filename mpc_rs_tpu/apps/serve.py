@@ -52,7 +52,14 @@ from mpc_rs_tpu.ops.mppi_pallas import mppi_solve_pallas_batch
 
 def make_batch_solver(cfg: MppiConfig, step, cost, n_state: int,
                       backend: str | None = None):
-    """jitted ``solve(seeds (B,), xs (B,S) np, u_ns (B,N)) -> (u_ns', statuses)``.
+    """jitted ``solve(seeds (B,), xs (B,S), u_ns (B,N)) ->
+    (u_ns' (B,N), u0 (B,), statuses)`` — all returned lazily (device
+    arrays), so the caller can pipeline dispatches.
+
+    The per-robot zero fallback (examples/mppi4-ukf-commu.rs:76-81) is
+    applied IN-JIT: a failed solve's whole sequence is zeroed before it
+    becomes the next warm start, and the warm-start chain stays
+    device-resident — the host only ever reads back the (B,) u0 column.
 
     TPU: the scenario-batched fused kernel (one pallas_call for the whole
     fleet). Elsewhere: the vmapped reference path (identical semantics,
@@ -60,14 +67,12 @@ def make_batch_solver(cfg: MppiConfig, step, cost, n_state: int,
     backend = pick_backend(backend)
     if backend == "pallas" and jax.default_backend() == "tpu":
 
-        @jax.jit
-        def solve(seeds, xs, u_ns):
+        def raw(seeds, xs, u_ns):
             return mppi_solve_pallas_batch(cfg, step, cost, n_state, seeds, xs, u_ns)
 
     else:
 
-        @jax.jit
-        def solve(seeds, xs, u_ns):
+        def raw(seeds, xs, u_ns):
             keys = jax.vmap(jax.random.fold_in, (None, 0))(jax.random.key(0), seeds)
 
             def one(key, x, u_n):
@@ -77,9 +82,16 @@ def make_batch_solver(cfg: MppiConfig, step, cost, n_state: int,
 
             return jax.vmap(one)(keys, xs, u_ns)
 
+    @jax.jit
+    def solve(seeds, xs, u_ns):
+        u, st = raw(seeds, xs, u_ns)
+        u = jnp.where((st != 0)[:, None], 0.0, u)  # zero fallback, per robot
+        return u, u[:, 0], st
+
     return lambda seeds, xs, u_ns: solve(
-        np.asarray(seeds, np.int32), np.asarray(xs, np.float32),
-        np.asarray(u_ns, np.float32),
+        jnp.asarray(np.asarray(seeds, np.int32)),
+        jnp.asarray(np.asarray(xs, np.float32)),
+        u_ns,
     )
 
 
@@ -176,16 +188,28 @@ def serve(args):
     solve = make_batch_solver(cfg, step, costs.shaped4, 4, args.backend)
 
     xs = np.zeros((b_pad, 4), np.float32)
-    u_ns = np.zeros((b_pad, n), np.float32)
+    u_dev = jnp.zeros((b_pad, n), jnp.float32)
     seeds0 = np.arange(b_pad, dtype=np.int32)
     # pre-compile before real-time traffic starts (mppi4-commu.rs posture)
-    u_out, _ = solve(seeds0, xs, u_ns)
+    u_out, _, _ = solve(seeds0, xs, u_dev)
     np.asarray(u_out)
 
     scale = getattr(args, "time_scale", 1.0) or 1.0
     period = args.control_period if args.control_period else 0.01
     period /= scale
     stale = args.stale_timeout / scale
+    # Pipelined dispatch (depth-D double buffering): jax dispatch is async,
+    # so D batched solves ride the tunnel concurrently and the host blocks
+    # only on the OLDEST result's (B,) u0 readback. The warm-start chain
+    # (u_n of solve t feeds solve t+1) never leaves the device. Controls
+    # sent at tick t were computed from tick t−D's states: D extra periods
+    # of control latency traded for dispatch-RTT-immune throughput — the
+    # reference's freshest-state-wins posture at depth 0
+    # (examples/mppi4-commu.rs:42-59), relaxed by D ticks when pipelining.
+    depth = max(0, int(getattr(args, "pipeline_depth", 0) or 0))
+    from collections import deque
+
+    pending = deque()
     links = _open_links(args, b)
 
     ticks = 0
@@ -193,6 +217,18 @@ def serve(args):
     t0 = time.time()
     next_report = t0 + args.report_every
     deadline = t0 + args.t_end / scale
+    dispatched = 0
+
+    def pop_and_send():
+        nonlocal ticks
+        s0, u0_dev, fr = pending.popleft()
+        u0 = np.asarray(u0_dev)  # blocks until this solve's result lands
+        solve_s.append(time.time() - s0)
+        for ln in links:
+            i = ln.index
+            ln.send(float(u0[i]) if fr[i] else 0.0)
+        ticks += 1
+
     try:
         while time.time() < deadline:
             tick_t0 = time.time()
@@ -202,17 +238,12 @@ def serve(args):
                 xs[ln.index] = x
                 fresh[ln.index] = last_rx > 0 and (tick_t0 - last_rx) < stale
             if fresh.any():
-                seeds = np.int32(args.seed) + np.int32(ticks) * b_pad + seeds0
-                s0 = time.time()
-                u_out, statuses = solve(seeds, xs, u_ns)
-                u_ns = np.array(u_out, np.float32)
-                statuses = np.asarray(statuses)
-                solve_s.append(time.time() - s0)
-                u_ns[statuses != 0] = 0.0  # zero fallback, per robot
-                for ln in links:
-                    i = ln.index
-                    ln.send(float(u_ns[i, 0]) if fresh[i] else 0.0)
-                ticks += 1
+                seeds = np.int32(args.seed) + np.int32(dispatched) * b_pad + seeds0
+                u_dev, u0_dev, _st = solve(seeds, xs, u_dev)
+                dispatched += 1
+                pending.append((time.time(), u0_dev, fresh.copy()))
+            while len(pending) > depth:
+                pop_and_send()
             now = time.time()
             if now >= next_report:
                 next_report += args.report_every
@@ -220,13 +251,16 @@ def serve(args):
                 med = 1e3 * float(np.median(solve_s[-200:])) if solve_s else 0.0
                 print(
                     f"[serve] t={el * scale:6.2f}s ticks/s={ticks / el:7.1f} "
-                    f"active={int(fresh[:b].sum())}/{b} solve_ms={med:6.2f} "
+                    f"active={int(fresh[:b].sum())}/{b} depth={len(pending)} "
+                    f"solve_ms={med:6.2f} "
                     f"rx={sum(ln.n_rx for ln in links)} "
                     f"bad={sum(getattr(ln.port, 'n_bad_frames', 0) for ln in links)}"
                 )
             ahead = (tick_t0 + period) - time.time()
             if ahead > 0:
                 time.sleep(ahead)
+        while pending:
+            pop_and_send()
     finally:
         for ln in links:
             ln.stop()

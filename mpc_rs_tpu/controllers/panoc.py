@@ -59,6 +59,13 @@ class PanocConfig:
     gamma_init: float | None = None  # None → estimate from first gradient
     max_ls: int = 10  # τ-halvings per line search
     sigma: float = 1e-4  # sufficient-decrease coefficient
+    # 0 = γ only ever shrinks, the reference solver's behavior class
+    # (optimization_engine's PANOC raises its Lipschitz estimate and never
+    # lowers it). N > 0 = every N iterations attempt γ ← min(2γ, γ₀): a
+    # recovery lever for costs whose stiffness varies along the path — the
+    # backtracker immediately re-halves if the local Lipschitz condition
+    # disagrees, so the attempt costs one extra f eval per period.
+    gamma_recovery_period: int = 0
 
 
 class LbfgsMem(NamedTuple):
@@ -74,6 +81,7 @@ class PanocResult(NamedTuple):
     converged: jax.Array  # bool
     fpr_norm: jax.Array  # ‖u − T(u)‖∞ / γ at exit
     cost: jax.Array  # f(u) at exit
+    gamma: jax.Array  # final step size (Lipschitz estimate: L ≈ 0.95/γ)
 
 
 def _lbfgs_init(n: int, m: int, dtype) -> LbfgsMem:
@@ -204,13 +212,30 @@ def panoc_solve(
         return jnp.logical_and(c.it < cfg.max_iter, jnp.logical_not(c.converged))
 
     def body(c: Carry):
-        gamma, z = backtrack_gamma(c.u, c.f_u, c.g_u, c.gamma)
+        gamma_try = c.gamma
+        if cfg.gamma_recovery_period > 0:
+            period = cfg.gamma_recovery_period
+            recover = (c.it % period) == (period - 1)
+            gamma_try = jnp.where(recover, jnp.minimum(2.0 * c.gamma, gamma0), c.gamma)
+        gamma, z = backtrack_gamma(c.u, c.f_u, c.g_u, gamma_try)
         r = c.u - z  # γ·R(u)
         fpr = jnp.max(jnp.abs(r)) / gamma
         converged = fpr <= cfg.tol
 
+        # γ changed ⇒ the fixed-point residual changes scale and the stored
+        # (s, y) curvature pairs describe a different operator: flush the
+        # L-BFGS memory, as the reference solver class does on a Lipschitz
+        # re-estimate (zeroing s/y also resets the h0 = sᵀy/yᵀy scaling).
+        changed = gamma != c.gamma
+        mem = LbfgsMem(
+            s=jnp.where(changed, 0.0, c.mem.s),
+            y=jnp.where(changed, 0.0, c.mem.y),
+            rho=jnp.where(changed, 0.0, c.mem.rho),
+            idx=jnp.where(changed, jnp.int32(0), c.mem.idx),
+        )
+
         phi_u = c.f_u + jnp.vdot(c.g_u, z - c.u) + jnp.sum(r * r) / (2 * gamma)
-        d = _lbfgs_direction(c.mem, r)
+        d = _lbfgs_direction(mem, r)
 
         # τ line search: u⁺ = u − (1−τ)r + τd, τ ∈ {1, ½, …}; fallback τ=0 ⇒ z
         def ls_body(ls):
@@ -237,7 +262,7 @@ def panoc_solve(
         f_new, g_new = vg(u_new)
         z_new = proj(u_new - gamma * g_new)
         r_new = u_new - z_new
-        mem = _lbfgs_push(c.mem, u_new - c.u, r_new - r)
+        mem = _lbfgs_push(mem, u_new - c.u, r_new - r)
 
         return Carry(
             u=u_new,
@@ -267,6 +292,7 @@ def panoc_solve(
         converged=out.converged,
         fpr_norm=out.fpr,
         cost=out.f_u,
+        gamma=out.gamma,
     )
 
 

@@ -111,6 +111,25 @@ def test_serve_bridge_sim_mcus(tmp_path):
     assert all(th < np.radians(60.0) for th in summary["max_abs_theta"])
 
 
+@pytest.mark.skipif(
+    not __import__("mpc_rs_tpu.io.cobs", fromlist=["native_available"]).native_available(),
+    reason="needs native serial lib",
+)
+def test_serve_bridge_pipelined(tmp_path):
+    # depth-2 pipelining: dispatches overlap the (emulated) RTT; controls
+    # are 2 ticks stale but every robot still balances, and the solve chain
+    # (device-resident warm start + in-jit zero fallback) stays correct
+    summary, out = _run(
+        ["serve", "--sim-mcu", "--robots", "8", "--k", "128",
+         "--t-end", "1.0", "--time-scale", "0.2", "--seed", "4",
+         "--pipeline-depth", "2"],
+        tmp_path,
+    )
+    assert summary["ticks"] > 5
+    assert all(n > 0 for n in summary["tx"])
+    assert all(th < np.radians(60.0) for th in summary["max_abs_theta"])
+
+
 def test_tune_sweep_grid(tmp_path):
     # 2x2 grid x 3 seeds in one vmapped device call; the reference operating
     # point (lambda=0.5, sigma=3 — examples/mppi4.rs:11-13) must survive,
