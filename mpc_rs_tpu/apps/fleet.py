@@ -136,6 +136,12 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             ukf_fx_c=lambda xs, u: tuple(jnp.broadcast_arrays(
                 *plant6(*xs, u, dt, 0.0))),
             ukf_hx_c=_componentize_hx(hx, 5),
+            # fused estimator-chain kernel inputs: component plant + the
+            # per-init Q/R constants (ops/estimator_pallas.py)
+            plant_fx_c=lambda xs, u, f: tuple(jnp.broadcast_arrays(
+                *plant6(*xs, u, dt, f))),
+            ukf_q_const=noise.gen_q6(jnp.float32(2.15 * dt)),
+            ukf_r_const=jnp.diag(sens),
         )
         x0 = jnp.zeros(6, jnp.float32)
         theta_idx, guard = 3, math.pi / 2
@@ -170,11 +176,17 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             ukf_fx_c=(lambda step_c: lambda xs, u: step_c(*xs, u))(
                 dynamics.make_cartpole_nonlinear(p, dt / n_substeps)),
             ukf_hx_c=_componentize_hx(hx, 3),
+            plant_fx_c=(lambda step_c: lambda xs, u, f: tuple(
+                jnp.broadcast_arrays(*step_c(*xs, u))))(
+                dynamics.make_cartpole_nonlinear(p, dt / n_substeps)),
+            ukf_q_const=noise.gen_q4(dt / n_substeps),
+            ukf_r_const=jnp.diag(sens * sens),
         )
         theta_idx, guard = 2, math.radians(60.0)
 
     carry = init_scenario_carry(
         scenarios, x0, jnp.zeros(8, jnp.float32), ukf0, jax.random.key(seed),
+        ukf_layout=ukf_layout,
     )
     return tick, carry, dt, theta_idx, guard
 

@@ -141,6 +141,56 @@ def jacobi_entries(a, n, sweeps: int = 4):
     return w, v
 
 
+def jacobi_entrywise(a, n, sweeps: int = 4):
+    """Cyclic Jacobi on an n×n nested list of (batched) scalar arrays with
+    PURE entrywise ops — no stacks, no >2-D intermediates.
+
+    Same rotation sequence and two-sided arithmetic as
+    :func:`_jacobi_stacked_leading` (closed forms of its row+column pass),
+    but expressed entry-by-entry so it can run inside a Pallas TPU kernel,
+    where every entry is one (bs, 128) register tile and Mosaic rejects
+    the stacked form's 4-D ``multi_reduction``/stack shapes. The op count
+    (~60 ops/rotation at n=6) that makes this form a poor fit for the XLA
+    CPU pipeline is exactly what fuses to nothing inside a kernel.
+
+    Returns (w: list n of eigenvalues, v: n×n list — columns are
+    eigenvectors), matching :func:`jacobi_entries`."""
+    a = [[a[i][j] for j in range(n)] for i in range(n)]
+    one = jnp.ones_like(a[0][0])
+    zero = jnp.zeros_like(a[0][0])
+    v = [[one if i == j else zero for j in range(n)] for i in range(n)]
+    for _ in range(sweeps):
+        for p_ in range(n - 1):
+            for q_ in range(p_ + 1, n):
+                app, aqq, apq = a[p_][p_], a[q_][q_], a[p_][q_]
+                small = jnp.abs(apq) < 1e-30
+                theta = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+                t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+                t = jnp.where(small, 0.0, t)
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s_ = t * c
+                for k in range(n):
+                    if k == p_ or k == q_:
+                        continue
+                    akp = c * a[k][p_] - s_ * a[k][q_]
+                    akq = s_ * a[k][p_] + c * a[k][q_]
+                    a[k][p_] = akp
+                    a[p_][k] = akp
+                    a[k][q_] = akq
+                    a[q_][k] = akq
+                new_pp = c * c * app - 2.0 * s_ * c * apq + s_ * s_ * aqq
+                new_qq = s_ * s_ * app + 2.0 * s_ * c * apq + c * c * aqq
+                new_pq = (c * c - s_ * s_) * apq + s_ * c * (app - aqq)
+                a[p_][p_], a[q_][q_] = new_pp, new_qq
+                a[p_][q_] = new_pq
+                a[q_][p_] = new_pq
+                for k in range(n):
+                    vkp = c * v[k][p_] - s_ * v[k][q_]
+                    vkq = s_ * v[k][p_] + c * v[k][q_]
+                    v[k][p_], v[k][q_] = vkp, vkq
+    return [a[i][i] for i in range(n)], v
+
+
 def eigh_jacobi_unrolled(s, sweeps: int = 4):
     """(eigenvalues (..., n), eigenvectors (..., n, n)) of symmetric s by
     ``sweeps`` unrolled cyclic Jacobi sweeps — batched, branch-free.

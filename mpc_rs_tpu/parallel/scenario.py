@@ -72,6 +72,16 @@ def make_scenario_step(
     ukf_layout: str = "aos",  # "aos": vmapped estimators.ukf; "soa": batch-minor
     ukf_fx_c: Callable | None = None,  # component-form fx (required for "soa")
     ukf_hx_c: Callable | None = None,  # component-form hx (required for "soa")
+    plant_fx_c: Callable | None = None,  # component-form plant (xs, u, f) -> xs —
+    # enables the fused estimator-chain Pallas kernel on the soa+pallas path
+    ukf_q_const=None,  # (n, n) static process noise — required for the chain kernel
+    ukf_r_const=None,  # (o, o) static measurement noise — required for the chain kernel
+    estimator_chain: bool = False,  # opt-in: ONE Pallas launch for the whole
+    # plant→sensor→UKF chain (ops/estimator_pallas.py). Correct (interpret-
+    # mode parity tests) but this image's remote Mosaic compile helper is
+    # SIGKILLed by the kernel's unrolled trace at flagship dims — the
+    # default path instead reshapes every SoA entry to dense (B/128, 128)
+    # tiles, which fixes the f32[B,1] layout pathology in plain XLA.
 ):
     """Returns jitted ``step(carry) -> carry`` advancing every scenario one
     control tick: MPPI (rollout-sharded) → plant → sensor → UKF.
@@ -109,6 +119,31 @@ def make_scenario_step(
     sig = jnp.asarray(sensor_stddevs)
     if n_state is None:
         n_state = len(state_slice) if state_slice is not None else None
+
+    # Fused estimator-chain kernel (ops/estimator_pallas.py): the whole
+    # substepped plant+sensor+UKF chain as ONE Pallas launch over (bs, 128)
+    # lane-dense tiles — replaces the ~900-op XLA tail whose (B,) entries
+    # XLA laid out as f32[B,1] (1 live lane of 128; the round-3 profile's
+    # entire 0.42 ms tick residual).
+    # Interpret mode (CPU tests / dryrun) keeps the jnp SoA path: the chain
+    # kernel's interpreted form costs ~4 min of CPU-XLA compile + seconds
+    # per call (measured round 3), and the carry structure + shard specs
+    # are identical either way, so the sharding contract is still
+    # dryrun-validated. The chain pallas_call itself is validated on-chip.
+    chain = None
+    if (estimator_chain
+            and ukf_layout == "soa" and backend == "pallas" and plant_fx_c is not None
+            and ukf_q_const is not None and ukf_r_const is not None
+            and not pallas_interpret):
+        from mpc_rs_tpu.ops.estimator_pallas import make_estimator_chain
+
+        chain = make_estimator_chain(
+            ukf_params, plant_fx_c, ukf_fx_c, ukf_hx_c,
+            ukf_q_const, ukf_r_const, sensor_stddevs, ukf_p_reset,
+            n_substeps, dt_tick / n_substeps,
+            disturbance=disturbance, control_start=control_start,
+            interpret=pallas_interpret,
+        )
 
     def merge(parts: MppiPartials) -> MppiPartials:
         # batched partials: m/s are (B,), uw is (B, N)
@@ -196,7 +231,48 @@ def make_scenario_step(
             # batch by construction — init_scenario_carry broadcasts one)
             q_const, r_const = ukf.q[0], ukf.r[0]
             n_obs = r_const.shape[-1]
-            soa = _soa.from_batched(ukf.x, ukf.p, ukf.sigma_f)
+            # Carry-native SoA (init_scenario_carry(ukf_layout="soa")): the
+            # covariance lives in the carry packed batch-minor as one
+            # (n², B) array and sigma_f is dropped entirely (predict always
+            # precedes update inside a tick, so cross-tick sigma_f is dead
+            # state). The legacy batch-leading carry pays ~230 strided
+            # slice/stack ops per tick for the (B,6,6)/(B,13,6) layout
+            # conversions (scripts/diag_glue.py).
+            n_st = ukf.x.shape[-1]
+            native = getattr(ukf.p, "ndim", 3) == 2
+            b = ukf.x.shape[0]
+            # Dense-tile entry shape: XLA lays a (B,) f32 array out as
+            # f32[B,1]{T(8,128)} — batch on the SUBLANE axis, ONE live lane
+            # of 128 (measured in the round-3 tick profile: the whole
+            # 0.42 ms "glue" residual was this). Reshaping every SoA entry
+            # to (B/128, 128) makes each elementwise op an exact multiple
+            # of the (8, 128) VPU tile. Gated on n_substeps == 1: measured
+            # on-chip (round 3) the tiles win for the flagship's single
+            # substep (2.31 → 2.01 ms/tick) but regress the 5-substep
+            # cartpole scan (0.434 → 0.55 ms — the scan carries n²+mn 2-D
+            # entries whose loop-boundary copies outweigh the lane win).
+            tiled = native and b % 128 == 0 and n_substeps == 1
+            e_shape = (b // 128, 128) if tiled else (b,)
+            ecomp = (lambda a: a.reshape(e_shape)) if tiled else (lambda a: a)
+            if native:
+                zero = jnp.zeros(e_shape, ukf.x.dtype)
+                soa = _soa.SoaUkfState(
+                    x=tuple(ecomp(ukf.x[:, i]) for i in range(n_st)),
+                    p=tuple(
+                        tuple(ecomp(ukf.p[i * n_st + j]) for j in range(n_st))
+                        for i in range(n_st)
+                    ),
+                    # dead placeholder: overwritten by the first predict,
+                    # present only to keep the scan carry structure static
+                    sigma_f=tuple(
+                        jnp.zeros((2 * n_st + 1,) + e_shape, ukf.x.dtype)
+                        for _ in range(n_st)
+                    ),
+                )
+            else:
+                soa = _soa.from_batched(ukf.x, ukf.p, ukf.sigma_f)
+
+            u0_e = ecomp(u0)
 
             def substep(c, inp):
                 x, soa = c
@@ -208,9 +284,10 @@ def make_scenario_step(
                 zmat = ukf_hx(x_next) + sig * jax.random.normal(
                     kss, x_next.shape[:-1] + sig.shape, dtype=sig.dtype
                 )
-                soa = _soa.soa_predict(ukf_params, soa, u0, ukf_fx_c, q_const)
+                soa = _soa.soa_predict(ukf_params, soa, u0_e, ukf_fx_c, q_const)
                 soa = _soa.soa_update(
-                    ukf_params, soa, tuple(zmat[..., j] for j in range(n_obs)),
+                    ukf_params, soa,
+                    tuple(ecomp(zmat[..., j]) for j in range(n_obs)),
                     ukf_hx_c, r_const,
                 )
                 if ukf_p_reset is not None:
@@ -226,11 +303,30 @@ def make_scenario_step(
                     substep, (x, soa),
                     (keys, jnp.arange(n_substeps, dtype=jnp.float32)),
                 )
+            if native:
+                return x_next, ukf._replace(
+                    x=jnp.stack([e.reshape(b) for e in soa.x], axis=-1),
+                    p=jnp.stack(
+                        [soa.p[i][j].reshape(b)
+                         for i in range(n_st) for j in range(n_st)]
+                    ),
+                )
             xb, pb, sfb = _soa.to_batched(soa)
             return x_next, ukf._replace(x=xb, p=pb, sigma_f=sfb)
 
+        def rest_chain(x, u_seq, ukf, ks, t):
+            """One fused Pallas launch for the whole plant→sensor→UKF chain
+            (pre-drawn sensor noise; u0 gating/disturbance inside)."""
+            n_obs = sig.shape[-1]
+            noise = jax.random.normal(
+                ks[0], (n_substeps * n_obs, x.shape[0]), dtype=jnp.float32
+            )
+            x_next, ex, p_packed = chain(x, ukf.x, ukf.p, u_seq[:, 0], t, noise)
+            return x_next, ukf._replace(x=ex, p=p_packed)
+
         if ukf_layout == "soa":
-            x_next, ukf = rest_soa(carry.x, u_new, carry.ukf, k_sens, carry.t)
+            rest_b = rest_chain if chain is not None else rest_soa
+            x_next, ukf = rest_b(carry.x, u_new, carry.ukf, k_sens, carry.t)
         else:
             x_next, ukf = jax.vmap(rest)(carry.x, u_new, carry.ukf, k_sens, carry.t)
         return ScenarioCarry(
@@ -240,8 +336,15 @@ def make_scenario_step(
 
     spec_b = P(scenario_axis)  # batch-leading arrays: sharded over scenario,
     # replicated over rollouts (each rollout-shard sees the whole sub-batch)
-    specs = ScenarioCarry(x=spec_b, u_n=spec_b, ukf=jax.tree.map(lambda _: spec_b, UkfState(*(0,) * 5)), key=spec_b, status=spec_b, t=spec_b)
-
+    if ukf_layout == "soa":
+        # carry-native SoA: p is packed batch-MINOR (n², B) → scenario is
+        # axis 1; sigma_f is dropped (None ≡ empty subtree in both trees)
+        ukf_spec = UkfState(x=spec_b, p=P(None, scenario_axis), q=spec_b,
+                            r=spec_b, sigma_f=None)
+    else:
+        ukf_spec = jax.tree.map(lambda _: spec_b, UkfState(*(0,) * 5))
+    specs = ScenarioCarry(x=spec_b, u_n=spec_b, ukf=ukf_spec, key=spec_b,
+                          status=spec_b, t=spec_b)
     step = shard_map(
         shard_fn,
         mesh=mesh,
@@ -252,13 +355,29 @@ def make_scenario_step(
     return jax.jit(step)
 
 
-def init_scenario_carry(batch, x0, u0, ukf_state: UkfState, key):
-    """Broadcast a single-scenario initial condition to a (B, ...) carry."""
+def init_scenario_carry(batch, x0, u0, ukf_state: UkfState, key,
+                        ukf_layout: str = "aos"):
+    """Broadcast a single-scenario initial condition to a (B, ...) carry.
+
+    ``ukf_layout="soa"``: store the estimator covariance carry-native in
+    the batch-minor layout — ``ukf.p`` packed as one (n², B) array,
+    ``ukf.sigma_f`` None (dead across ticks: predict precedes update).
+    ``ukf.x`` stays (B, n) batch-leading — it feeds the controller and the
+    fleet diagnostics, and converting n entries is negligible; only the
+    O(n²)+O(mn) covariance/sigma conversions cost real tick time."""
     tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (batch,) + jnp.asarray(a).shape)
+    ukf = jax.tree.map(tile, ukf_state)
+    if ukf_layout == "soa":
+        n = ukf.x.shape[-1]
+        flat = jnp.asarray(ukf_state.p).reshape(n * n)
+        ukf = ukf._replace(
+            p=jnp.broadcast_to(flat[:, None], (n * n, batch)),
+            sigma_f=None,
+        )
     return ScenarioCarry(
         x=tile(x0),
         u_n=tile(u0),
-        ukf=jax.tree.map(tile, ukf_state),
+        ukf=ukf,
         key=jax.random.split(key, batch),
         status=jnp.zeros((batch,), jnp.int32),
         t=jnp.zeros((batch,), jnp.float32),

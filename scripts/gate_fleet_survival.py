@@ -1,0 +1,105 @@
+"""Full-scale fleet survival + throughput gates (round 3).
+
+For each (model, sampler) combination: B=1024 scenarios, the model's
+acceptance horizon (flagship6: 3 s incl. the 2 N pulse at 100 Hz;
+cartpole4: 5 s at 20 Hz), estimator in the loop, over N seeds. Prints one
+JSON line per combination and a summary table.
+
+  PYTHONPATH=. python scripts/gate_fleet_survival.py [seeds]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_rs_tpu.apps.fleet import build_fleet
+from mpc_rs_tpu.parallel.mesh import make_mesh
+
+N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+B = 1024
+
+CASES = [
+    # (model, sampler, ticks, time_ticks)
+    ("flagship6", "clt4", 300, 800),
+    ("flagship6", "clt4a", 300, 0),
+    ("flagship6", "wallace", 300, 0),
+    ("cartpole4", "clt4", 100, 2000),
+    ("cartpole4", "clt4a", 100, 0),
+    ("cartpole4", "wallace", 100, 0),
+]
+
+
+def main():
+    mesh = make_mesh({"scenario": 1, "rollouts": 1}, devices=jax.devices()[:1])
+    results = []
+    for model, sampler, ticks, time_ticks in CASES:
+        surv_all = []
+        per_tick = None
+        for seed in range(N_SEEDS):
+            tick, carry, dt, theta_idx, guard = build_fleet(
+                model, 0, "pallas", mesh, scenarios=B, seed=seed,
+                sampler=sampler,
+            )
+
+            def make(n, track):
+                @jax.jit
+                def run(c):
+                    def body(c, _):
+                        c = tick(c)
+                        return c, (jnp.abs(c.x[:, theta_idx]) if track else 0.0)
+
+                    c, th = jax.lax.scan(body, c, jnp.arange(n))
+                    return c, (jnp.max(th, axis=0) if track else th)
+
+                return run
+
+            _, th_max = make(ticks, True)(carry)
+            th_max = np.array(th_max)
+            surv = float((th_max < guard).mean())
+            surv_all.append(surv)
+            if seed == 0 and time_ticks:
+                # marginal timing once per (model, sampler): two scan lengths.
+                # Vary the carry per dispatch — the tunneled axon relay
+                # memoizes repeated identical (executable, inputs) pairs,
+                # which silently zeroes repeat-call timings.
+                vary = lambda c, i: c._replace(t=c.t + jnp.float32(1e-6 * i))
+                n_s = max(2, time_ticks // 10)
+                r1, r2 = make(n_s, False), make(time_ticks, False)
+                o, _ = r1(vary(carry, 97)); float(jnp.sum(o.x))
+                o, _ = r2(vary(carry, 98)); float(jnp.sum(o.x))
+                e1s, e2s = [], []
+                for i in range(3):
+                    t0 = time.perf_counter()
+                    float(jnp.sum(r1(vary(carry, 2 * i))[0].x))
+                    e1s.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    float(jnp.sum(r2(vary(carry, 2 * i + 1))[0].x))
+                    e2s.append(time.perf_counter() - t0)
+                per_tick = (min(e2s) - min(e1s)) / (time_ticks - n_s)
+        row = {
+            "model": model, "sampler": sampler, "scenarios": B,
+            "seeds": N_SEEDS, "ticks": ticks,
+            "survival_per_seed": surv_all,
+            "survival_mean": round(float(np.mean(surv_all)), 5),
+            "survived_total": int(round(sum(surv_all) * B)),
+        }
+        if per_tick:
+            row["ms_per_tick"] = round(per_tick * 1e3, 3)
+            row["scenario_ticks_per_s"] = round(B / per_tick, 0)
+        print(json.dumps(row), flush=True)
+        results.append(row)
+    print("\nsummary:")
+    for r in results:
+        extra = f"  {r.get('scenario_ticks_per_s', ''):>9} ticks/s" if "scenario_ticks_per_s" in r else ""
+        print(f"  {r['model']:10s} {r['sampler']:8s} survival {r['survival_mean']:.4f} "
+              f"({r['survived_total']}/{B * N_SEEDS}){extra}")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,8 @@ def test_soa_guard_resets_bad_instances():
     b = 4
     x = tuple(jnp.where(jnp.arange(b) == 1, jnp.nan, 1.0) for _ in range(n))
     p = tuple(tuple(jnp.ones(b) for _ in range(n)) for _ in range(n))
-    sf = tuple(tuple(jnp.zeros(b) for _ in range(n)) for _ in range(2 * n + 1))
+    # component-stacked sigma_f: n arrays of (m, B)
+    sf = tuple(jnp.zeros((2 * n + 1, b)) for _ in range(n))
     out = ukf_soa.soa_guard(ukf_soa.SoaUkfState(x, p, sf), 0.5 * np.eye(n))
     xb, pb, _ = ukf_soa.to_batched(out)
     assert np.isfinite(np.array(xb)).all()
