@@ -28,11 +28,14 @@ BASELINE_STEPS_PER_S = 64e6
 # Self-audit anchors (DESIGN §9, measured on v5e):
 # - VPU elementwise peak: 8×128 lanes at ~940 MHz.
 # - Op-mix floors: the converged lane-cycles/rollout-step of each tier's
-#   kernel at its measured roofline (fast+clt4 ≈ 31 incl. hw-rcp; exact
-#   i.i.d. Box-Muller ≈ 49). roofline_pct = floor / measured-cycles — a
-#   regression shows up as pct < 100 without consulting DESIGN.
+#   kernel at its measured roofline with the DEFAULT samplers (fast =
+#   antithetic clt4a ≈ 21.5 from 44.8 G steps/s, exact-marginals =
+#   wallace ≈ 39 from 24.7 G — SCALING_r25.json/DESIGN §9; survival-gated
+#   1.000 at B=1024×4 seeds, logs/gate_survival_r3.log). roofline_pct =
+#   floor / measured-cycles — a regression shows up as pct < 100 without
+#   consulting DESIGN.
 VPU_LANE_OPS_PER_S = 962e9
-OPMIX_CYCLES_FLOOR = {"fast": 31.0, "exact": 49.0}
+OPMIX_CYCLES_FLOOR = {"fast": 21.5, "exact": 39.0}
 
 
 def _marginal_scan_time(make_run, x0, u0, n_short, n_long, reps=3):
@@ -94,7 +97,7 @@ def main():
             u0s, sts, _ = mppi_pallas_chain(
                 cfg, dyn, costs.shaped4, 4, None, x, u_n,
                 fast=fast, n_solves=n_solves, base_seed=seed,
-                sampler="clt4" if fast else "box-muller",
+                sampler="clt4a" if fast else "wallace",
             )
             return jnp.sum(u0s) + jnp.sum(sts)
 
@@ -176,7 +179,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_10k / baseline_10k, 2),
         "hardware": str(jax.devices()[0]),
-        "kernel": "pallas-fused-chain(fastmath+clt4)" if on_tpu else "vmap-reference(cpu-fallback)",
+        "kernel": "pallas-fused-chain(fastmath+clt4a)" if on_tpu else "vmap-reference(cpu-fallback)",
         "k10240_us_per_solve": round(results[10240]["us_per_solve"], 2),
         "k10240_us_per_solve_exact": round(results[10240]["us_per_solve_exact"], 2),
         "k819200_us_per_solve": round(results[819200]["us_per_solve"], 2),

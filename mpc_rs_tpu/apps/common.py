@@ -22,11 +22,14 @@ def pick_backend(requested: str | None = None) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "vmap"
 
 
-def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str | None = None):
+def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str | None = None,
+                     sampler: str | None = None):
     """jitted solve(seed:int, x: np (S,), u_n) -> (u_n, status).
 
     On TPU: the fused Pallas kernel; elsewhere: the vmap reference path
-    (identical semantics, threefry sampling)."""
+    (identical semantics, threefry sampling). ``sampler`` selects the
+    in-kernel noise generator (ops.mppi_pallas.SAMPLERS; pallas/TPU only —
+    the vmap and interpret paths always draw threefry normals)."""
     backend = pick_backend(backend)
     # conversions stay numpy (host-side, free); the jitted call moves data in
     # ONE dispatch — eager jnp.asarray would cost a device round trip each
@@ -37,7 +40,8 @@ def make_mppi_solver(cfg: MppiConfig, dynamics, cost, n_state: int, backend: str
 
             @jax.jit
             def solve(seed, x, u_n):
-                return mppi_solve_pallas(cfg, dynamics, cost, n_state, seed, x, u_n)
+                return mppi_solve_pallas(cfg, dynamics, cost, n_state, seed, x, u_n,
+                                         sampler=sampler or "box-muller")
 
         else:
             # off-TPU `--backend pallas`: interpret mode with external

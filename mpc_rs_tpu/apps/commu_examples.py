@@ -168,7 +168,7 @@ def mppi4_commu(args):
     k = args.k or 800_000
     cfg = MppiConfig(n_horizon=n, n_rollouts=k, lambda_=0.5, std_dev=3.0, limit=(-20.0, 20.0))
     step = dynamics.make_cartpole_nonlinear(p, dt)
-    solve = make_mppi_solver(cfg, step, costs.shaped4, 4, args.backend)
+    solve = make_mppi_solver(cfg, step, costs.shaped4, 4, args.backend, sampler=getattr(args, 'sampler', None))
     u_n = jnp.zeros(n, jnp.float32)
     solve(0, np.zeros(4), u_n)  # pre-compile before real-time traffic starts
     port, mcu = _open_port(args, "state")
@@ -208,7 +208,7 @@ def mppi4_ukf_commu(args):
     k = args.k or 800_000
     cfg = MppiConfig(n_horizon=n, n_rollouts=k, lambda_=2.0, std_dev=2.0, limit=(-10.0, 10.0))
     ctrl_step = dynamics.make_commu4(p, dt)
-    solve = make_mppi_solver(cfg, ctrl_step, costs.commu4, 4, args.backend)
+    solve = make_mppi_solver(cfg, ctrl_step, costs.commu4, 4, args.backend, sampler=getattr(args, 'sampler', None))
     # UKF fx = this example's own dynamics_short incl. its cos(ẍ)
     # denominator quirk (mppi4-ukf-commu.rs:137-153)
     plant6 = dynamics.make_accel6(p, with_force=False, quirk_denominator=True)

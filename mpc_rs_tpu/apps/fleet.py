@@ -123,10 +123,13 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             n_state=4, state_slice=(0, 1, 3, 4),
             n_substeps=1, dt_tick=dt, ukf_p_reset=p0,
             feed_true_state=feed_true_state, fast_math=fast_flag,
-            # clt4 exploration noise: matched-seed survival is statistically
-            # identical to exact Box-Muller (4093/4096 vs 4094/4096, seeds
-            # 0-3 at B=1024, 3 s incl. the 2 N pulse) for +10.6% ticks/s.
-            sampler=sampler or "clt4",
+            # clt4a (antithetic clt4) exploration noise: survival gated
+            # 1.000 over 4×1024 episodes incl. the 2 N pulse
+            # (logs/gate_survival_r3.log; clt4 and wallace identical), and
+            # the ±ε pairing is a variance reducer measured at 511k → 533k
+            # ticks/s (BENCH r3). K guard as in the cartpole branch: below
+            # clt4a's 16-sublane block minimum the round-up doubles work.
+            sampler=sampler or ("clt4a" if cfg.n_rollouts >= 2048 else "clt4"),
             disturbance=lambda t: jnp.where(
                 (t > 1.0) & (t < 1.5), jnp.float32(2.0), jnp.float32(0.0)
             ),
@@ -169,9 +172,15 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             pallas_interpret=pallas_interpret,
             n_substeps=n_substeps, dt_tick=dt, ukf_p_reset=p0,
             feed_true_state=feed_true_state, fast_math=fast_math,
-            # transcendental-free CLT4 exploration noise: +33% kernel
-            # throughput, survival revalidated 1.000 (see BENCH/STATUS)
-            sampler=sampler or ("clt4" if fast_math else "box-muller"),
+            # fast tier: antithetic CLT4 (±ε-paired) — but only when K fills
+            # clt4a's 16-sublane minimum block (K ≥ 2048); at cartpole4's
+            # K=1024 the block round-up doubles the sampled work (measured:
+            # 0.435 → 0.557 ms/tick, BENCH r3 check), so small-K fleets
+            # keep clt4. Exact-marginals tier: wallace. All three gated
+            # 1.000 over 4×1024 5 s episodes (logs/gate_survival_r3.log);
+            # --sampler box-muller restores strict reference semantics.
+            sampler=sampler or (("clt4a" if cfg.n_rollouts >= 2048 else "clt4")
+                                if fast_math else "wallace"),
             ukf_layout=ukf_layout,
             ukf_fx_c=(lambda step_c: lambda xs, u: step_c(*xs, u))(
                 dynamics.make_cartpole_nonlinear(p, dt / n_substeps)),

@@ -28,7 +28,7 @@ def mppi2(args):
         control_inv=2.5 / 1.0,
     )
     step = dynamics.make_double_integrator(dt)
-    solve = make_mppi_solver(cfg, step, costs.quad2, 2, args.backend)
+    solve = make_mppi_solver(cfg, step, costs.quad2, 2, args.backend, sampler=getattr(args, 'sampler', None))
     x = np.array([1.0, 0.0])
     u_n = jnp.zeros(n, jnp.float32)
     t = 0.0
@@ -50,7 +50,7 @@ def _mppi4_loop(args, step_fn, label):
     dt = t_hor / n
     k = args.k or 800_000
     cfg = MppiConfig(n_horizon=n, n_rollouts=k, lambda_=0.5, std_dev=3.0, limit=(-20.0, 20.0))
-    solve = make_mppi_solver(cfg, step_fn, costs.shaped4, 4, args.backend)
+    solve = make_mppi_solver(cfg, step_fn, costs.shaped4, 4, args.backend, sampler=getattr(args, 'sampler', None))
     x = np.array([0.5, 0.0, 0.1, 0.0])
     u_n = jnp.zeros(n, jnp.float32)
     logger = CsvLogger(f"{args.log_dir}/mppi/mppi.csv")
@@ -96,7 +96,7 @@ def mppi4_non_liner_s(args):
     k = args.k or 1_500_000
     cfg = MppiConfig(n_horizon=n, n_rollouts=k, lambda_=0.5, std_dev=10.0, limit=(-10.0, 10.0))
     ctrl_step = dynamics.make_cartpole_nonlinear(p, dt)
-    solve = make_mppi_solver(cfg, ctrl_step, costs.shaped4, 4, args.backend)
+    solve = make_mppi_solver(cfg, ctrl_step, costs.shaped4, 4, args.backend, sampler=getattr(args, 'sampler', None))
     plant = dynamics.make_cartpole_nonlinear(p, None)  # dt at call time
 
     hx = observation.make_hx_rpm_gyro4(p)
@@ -184,7 +184,7 @@ def mppi4_non_liner_ukf(args):
     cfg = MppiConfig(n_horizon=n, n_rollouts=k, lambda_=1.4, std_dev=4.0, limit=(-10.0, 10.0))
     cost = costs.make_diag4(0.1, 0.1, 1.0, 0.5)
     ctrl_step = dynamics.make_flagship4(p, dt)
-    solve = make_mppi_solver(cfg, ctrl_step, cost, 4, args.backend)
+    solve = make_mppi_solver(cfg, ctrl_step, cost, 4, args.backend, sampler=getattr(args, 'sampler', None))
     plant6 = dynamics.make_flagship6(p)
 
     hx = observation.make_hx_imu6(p)

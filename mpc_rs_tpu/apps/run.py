@@ -64,9 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["box-muller", "clt4", "clt2q", "clt4a", "box-muller-a",
                              "wallace"],
                     default=None,
-                    help="override the fleet MPPI kernel noise generator "
-                         "(default: clt4 for both fleet models; box-muller when "
-                         "cartpole4 runs with --no-fast-math)")
+                    help="override the MPPI kernel noise generator (fleet + "
+                         "single-solve pallas examples; defaults: fleets use "
+                         "clt4a when K>=2048 else clt4, wallace when cartpole4 "
+                         "runs with --no-fast-math; single-solve examples use "
+                         "box-muller)")
     ap.add_argument("--lambdas", default="0.1,0.5,1.4,2.5",
                     help="tune: comma-separated MPPI λ grid")
     ap.add_argument("--sigmas", default="1,3,10",
