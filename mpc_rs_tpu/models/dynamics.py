@@ -124,6 +124,13 @@ def make_ddot(p: CartPoleParams, *, fast: bool = False):
     mll_j2 = p.m2 * p.l * p.l + p.j2
 
     def ddot_fn(dx, theta, dtheta, u, f):
+        # Trace-time specialization on f ≡ 0 (the controller rollout path:
+        # make_flagship4 always passes a literal 0.0 — the disturbance only
+        # drives the PLANT). XLA cannot fold float 0·x (NaN semantics), so
+        # without this the MPPI kernel evaluated a full polynomial
+        # cos(dtheta) plus four dead products per rollout step — measured
+        # on-chip as ~17% of the flagship kernel's step time.
+        f_zero = isinstance(f, (int, float)) and f == 0.0
         s, c = _sc(theta)
         d = d1 - (ml * c) ** 2
         if fast:
@@ -132,32 +139,37 @@ def make_ddot(p: CartPoleParams, *, fast: bool = False):
             from mpc_rs_tpu.ops.fastmath import freciprocal
 
             inv_d = freciprocal(d)
-            cdt = _fc(dtheta)
-            ddot_x = inv_d * (
+            num_x = (
                 mll_j2 * ml * dtheta * dtheta * s
                 - (ml**2) * p.g * s * c
                 + (2.0 * mll_j2 / p.r_w) * p.kt * u
-                + mll_j2 * f * cdt
             )
-            ddot_theta = inv_d * (
+            fs = p.m2 * p.g * s if f_zero else p.m2 * p.g * s - 2.0 * f
+            num_th = (
                 -(ml**2) * dtheta * dtheta * s * c
-                + (p.m2 * p.g * s - 2.0 * f) * p.l * p.mass_line_two
+                + fs * (p.l * p.mass_line_two)
                 - (2.0 * ml / p.r_w) * p.kt * u * c
-                - ml * f * cdt * cdt
             )
-            return ddot_x, ddot_theta
+            if not f_zero:
+                cdt = _fc(dtheta)
+                num_x = num_x + mll_j2 * f * cdt
+                num_th = num_th - ml * f * cdt * cdt
+            return inv_d * num_x, inv_d * num_th
         # ddot_x — mppi4-non-liner-ukf.rs:128-133
         term1 = mll_j2 * ml / d * dtheta * dtheta * s
         term2 = -(ml**2) * p.g / d * s * c
         term3 = 2.0 * mll_j2 / (d * p.r_w) * p.kt * u
-        term4 = mll_j2 / d * f * _fc(dtheta)
-        ddot_x = term1 + term2 + term3 + term4
+        ddot_x = term1 + term2 + term3
+        if not f_zero:
+            ddot_x = ddot_x + mll_j2 / d * f * _fc(dtheta)
         # ddot_theta — mppi4-non-liner-ukf.rs:134-138
         t1 = -(ml**2) / d * dtheta * dtheta * s * c
-        t2 = (p.m2 * p.g * s - 2.0 * f) * p.l * p.mass_line_two / d
+        fs = p.m2 * p.g * s if f_zero else p.m2 * p.g * s - 2.0 * f
+        t2 = fs * p.l * p.mass_line_two / d
         t3 = -2.0 * ml / (d * p.r_w) * p.kt * u * c
-        t4 = -ml * f * _fc(dtheta) ** 2 / d
-        ddot_theta = t1 + t2 + t3 + t4
+        ddot_theta = t1 + t2 + t3
+        if not f_zero:
+            ddot_theta = ddot_theta - ml * f * _fc(dtheta) ** 2 / d
         return ddot_x, ddot_theta
 
     return ddot_fn
