@@ -125,11 +125,14 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             feed_true_state=feed_true_state, fast_math=fast_flag,
             # clt4a (antithetic clt4) exploration noise: survival gated
             # 1.000 over 4×1024 episodes incl. the 2 N pulse
-            # (logs/gate_survival_r3.log; clt4 and wallace identical), and
+            # (GATES_r03.json; clt4 and wallace identical), and
             # the ±ε pairing is a variance reducer measured at 511k → 533k
             # ticks/s (BENCH r3). K guard as in the cartpole branch: below
             # clt4a's 16-sublane block minimum the round-up doubles work.
-            sampler=sampler or ("clt4a" if cfg.n_rollouts >= 2048 else "clt4"),
+            # --no-fast-math switches to the exact-marginals tier (wallace,
+            # also survival-gated) to match the cartpole branch's policy.
+            sampler=sampler or (("clt4a" if cfg.n_rollouts >= 2048 else "clt4")
+                                if fast_flag else "wallace"),
             disturbance=lambda t: jnp.where(
                 (t > 1.0) & (t < 1.5), jnp.float32(2.0), jnp.float32(0.0)
             ),
@@ -177,7 +180,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             # K=1024 the block round-up doubles the sampled work (measured:
             # 0.435 → 0.557 ms/tick, BENCH r3 check), so small-K fleets
             # keep clt4. Exact-marginals tier: wallace. All three gated
-            # 1.000 over 4×1024 5 s episodes (logs/gate_survival_r3.log);
+            # 1.000 over 4×1024 5 s episodes (GATES_r03.json);
             # --sampler box-muller restores strict reference semantics.
             sampler=sampler or (("clt4a" if cfg.n_rollouts >= 2048 else "clt4")
                                 if fast_math else "wallace"),

@@ -94,6 +94,15 @@ def main():
             row["scenario_ticks_per_s"] = round(B / per_tick, 0)
         print(json.dumps(row), flush=True)
         results.append(row)
+    # Committed artifact (logs/ is gitignored and does not survive between
+    # rounds): the survival evidence the defaults/DESIGN cite lives here.
+    with open("GATES_r03.json", "w") as fh:
+        json.dump({
+            "workload": "scripts/gate_fleet_survival.py — B=1024 scenarios, "
+                        "estimator in loop, flagship6 incl. the 2 N pulse",
+            "hardware": "TPU v5e (1 chip, tunneled)",
+            "results": results,
+        }, fh, indent=1)
     print("\nsummary:")
     for r in results:
         extra = f"  {r.get('scenario_ticks_per_s', ''):>9} ticks/s" if "scenario_ticks_per_s" in r else ""
