@@ -31,7 +31,7 @@ BASELINE_STEPS_PER_S = 64e6
 #   kernel at its measured roofline with the DEFAULT samplers (fast =
 #   antithetic clt4a ≈ 21.5 from 44.8 G steps/s, exact-marginals =
 #   wallace ≈ 39 from 24.7 G — SCALING_r25.json/DESIGN §9; survival-gated
-#   1.000 at B=1024×4 seeds, GATES_r03.json). roofline_pct =
+#   1.000 at B=1024×4 seeds, GATES.json). roofline_pct =
 #   floor / measured-cycles — a regression shows up as pct < 100 without
 #   consulting DESIGN.
 VPU_LANE_OPS_PER_S = 962e9

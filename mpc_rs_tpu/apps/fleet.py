@@ -59,7 +59,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False,
                 fast_math: bool | None = None, sqrt_method: str | None = None,
                 sampler: str | None = None, ukf_layout: str = "soa",
-                pallas_interpret: bool = False):
+                pallas_interpret: bool = False, estimator_chain: bool = False):
     # fast_math=None → per-model default: ON for both models (survival
     # validated per model at B=1024 over multiple seeds — see below).
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
@@ -125,7 +125,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             feed_true_state=feed_true_state, fast_math=fast_flag,
             # clt4a (antithetic clt4) exploration noise: survival gated
             # 1.000 over 4×1024 episodes incl. the 2 N pulse
-            # (GATES_r03.json; clt4 and wallace identical), and
+            # (GATES.json; clt4 and wallace identical), and
             # the ±ε pairing is a variance reducer measured at 511k → 533k
             # ticks/s (BENCH r3). K guard as in the cartpole branch: below
             # clt4a's 16-sublane block minimum the round-up doubles work.
@@ -148,6 +148,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 *plant6(*xs, u, dt, f))),
             ukf_q_const=noise.gen_q6(jnp.float32(2.15 * dt)),
             ukf_r_const=jnp.diag(sens),
+            estimator_chain=estimator_chain,
         )
         x0 = jnp.zeros(6, jnp.float32)
         theta_idx, guard = 3, math.pi / 2
@@ -180,7 +181,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             # K=1024 the block round-up doubles the sampled work (measured:
             # 0.435 → 0.557 ms/tick, BENCH r3 check), so small-K fleets
             # keep clt4. Exact-marginals tier: wallace. All three gated
-            # 1.000 over 4×1024 5 s episodes (GATES_r03.json);
+            # 1.000 over 4×1024 5 s episodes (GATES.json);
             # --sampler box-muller restores strict reference semantics.
             sampler=sampler or (("clt4a" if cfg.n_rollouts >= 2048 else "clt4")
                                 if fast_math else "wallace"),
@@ -193,6 +194,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 dynamics.make_cartpole_nonlinear(p, dt / n_substeps)),
             ukf_q_const=noise.gen_q4(dt / n_substeps),
             ukf_r_const=jnp.diag(sens * sens),
+            estimator_chain=estimator_chain,
         )
         theta_idx, guard = 2, math.radians(60.0)
 

@@ -73,6 +73,11 @@ def make_estimator_chain(
     soa_mode: str = "stacked",  # "stacked": same path as the jnp tier (small
     # trace — the fully entrywise form SIGKILLed the Mosaic compile helper
     # at ~272 KB of MLIR); "entry": pure 2-D entrywise ops
+    substep_loop: bool | None = None,  # run the substep chain as ONE
+    # lax.fori_loop body instead of a python unroll: the Mosaic trace (and
+    # its per-live-value scoped-vmem stack) shrinks by n_substeps. Default:
+    # on whenever n_substeps > 1 (the 5-substep cartpole4 unroll is what
+    # pushed the remote compile helper past its memory kill line).
 ):
     """Returns ``chain(x_plant (B,S), ukf_x (B,n), p_packed (n²,B), u0 (B,),
     t (B,), noise (n_substeps·o, B)) -> (x' (B,S), ukf_x' (B,n), p' (n²,B))``.
@@ -89,6 +94,7 @@ def make_estimator_chain(
     sig_np = [float(v) for v in np.asarray(sig, np.float64)]
     p_reset_np = None if p_reset is None else as_rows(p_reset, None)
     n2 = n * n
+    use_loop = n_substeps > 1 if substep_loop is None else substep_loop
 
     @jax.jit
     def chain(x_plant, ukf_x, p_packed, u0, t, noise):
@@ -110,28 +116,49 @@ def make_estimator_chain(
             if control_start > 0.0:
                 u = jnp.where(tt >= jnp.float32(control_start), u, 0.0)
             zero = jnp.zeros_like(u)
-            soa = SoaUkfState(
-                x=ex,
-                p=prows,
-                # dead placeholder — first predict overwrites before update reads
-                sigma_f=tuple(
-                    jnp.zeros((2 * n + 1,) + u.shape, u.dtype) for _ in range(n)
-                ),
+            # dead placeholder — first predict overwrites before update reads
+            dead_sigma = tuple(
+                jnp.zeros((2 * n + 1,) + u.shape, u.dtype) for _ in range(n)
             )
-            for i in range(n_substeps):
+
+            def substep(i, x, soa):
+                """One plant+sensor+UKF substep. ``i`` may be a python int
+                (unrolled trace) or an int32 tracer (fori_loop body)."""
                 if disturbance is None:
-                    x = list(plant_c(tuple(x), u, zero))
+                    x = plant_c(tuple(x), u, zero)
                 else:
-                    f = disturbance(tt + jnp.float32(i * dt_sub))
-                    x = list(plant_c(tuple(x), u, f))
-                hz = hx_c(tuple(x))
+                    # python-int i keeps the offset exact (f64 at trace time,
+                    # matching the unrolled golden); tracer i computes in f32
+                    off = (jnp.float32(i * dt_sub) if isinstance(i, int)
+                           else jnp.float32(dt_sub) * i)
+                    x = plant_c(tuple(x), u, disturbance(tt + off))
+                x = tuple(jnp.broadcast_to(c_, u.shape) for c_ in x)
+                hz = hx_c(x)
                 z = tuple(
-                    hz[j] + sig_np[j] * comp(nz0 + i * o + j) for j in range(o)
+                    hz[j] + sig_np[j] * in_ref[nz0 + i * o + j, 0]
+                    for j in range(o)
                 )
                 soa = soa_predict(params, soa, u, fx_c, q_np, mode=soa_mode)
                 soa = soa_update(params, soa, z, hx_c, r_np, mode=soa_mode)
                 if p_reset_np is not None:
                     soa = soa_guard(soa, p_reset_np, mode="entry")  # no leading-axis reduce in Mosaic
+                return x, soa
+
+            soa = SoaUkfState(x=ex, p=prows, sigma_f=dead_sigma)
+            if use_loop:
+                def body(i, carry):
+                    x_, ex_, p_ = carry
+                    x_, soa_ = substep(i, x_, SoaUkfState(x=ex_, p=p_, sigma_f=dead_sigma))
+                    return x_, soa_.x, soa_.p
+
+                x, ex_f, p_f = jax.lax.fori_loop(
+                    0, n_substeps, body, (tuple(x), soa.x, soa.p)
+                )
+                soa = SoaUkfState(x=ex_f, p=p_f, sigma_f=dead_sigma)
+            else:
+                x = tuple(x)
+                for i in range(n_substeps):
+                    x, soa = substep(i, x, soa)
             for i in range(s_dim):
                 out_ref[i, 0] = x[i]
             for i in range(n):

@@ -10,7 +10,7 @@ the Jacobi eigen root — the same constructors apps/fleet.py uses):
 Marginal timing over two scan lengths cancels the tunneled-dispatch RTT
 (bench.py methodology). Run on the real chip:
 
-  PYTHONPATH=. python scripts/diag_flagship_tick.py [B]
+  PYTHONPATH=.:$PYTHONPATH python scripts/diag_flagship_tick.py [B]
 """
 
 from __future__ import annotations

@@ -8,7 +8,7 @@ progressively enabled, timing each by the marginal-scan method:
   +sensor   — ... + hx + sensor noise draw
   +ukf      — ... + SoA convert + predict/update/guard (the full tick)
 
-Run on the real chip:  PYTHONPATH=. python scripts/diag_glue.py [B]
+Run on the real chip:  PYTHONPATH=.:$PYTHONPATH python scripts/diag_glue.py [B]
 """
 
 from __future__ import annotations

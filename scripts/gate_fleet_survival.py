@@ -1,16 +1,23 @@
-"""Full-scale fleet survival + throughput gates (round 3).
+"""Full-scale fleet survival + throughput gates.
 
 For each (model, sampler) combination: B=1024 scenarios, the model's
 acceptance horizon (flagship6: 3 s incl. the 2 N pulse at 100 Hz;
 cartpole4: 5 s at 20 Hz), estimator in the loop, over N seeds. Prints one
 JSON line per combination and a summary table.
 
-  PYTHONPATH=. python scripts/gate_fleet_survival.py [seeds]
+The committed artifact is GATES.json at the repo root (logs/ is gitignored
+and does not survive between rounds). It is written incrementally after
+every case so a crash loses at most one case, and a run with fewer seeds
+than the committed evidence refuses to overwrite it (pass --force to
+override).
+
+  PYTHONPATH=.:$PYTHONPATH python scripts/gate_fleet_survival.py [seeds] [--force]
 """
 
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
 
@@ -21,8 +28,12 @@ import numpy as np
 from mpc_rs_tpu.apps.fleet import build_fleet
 from mpc_rs_tpu.parallel.mesh import make_mesh
 
-N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+ARGS = [a for a in sys.argv[1:] if a != "--force"]
+FORCE = "--force" in sys.argv[1:]
+N_SEEDS = int(ARGS[0]) if ARGS else 4
 B = 1024
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+OUT = REPO_ROOT / "GATES.json"
 
 CASES = [
     # (model, sampler, ticks, time_ticks)
@@ -35,7 +46,31 @@ CASES = [
 ]
 
 
+def write_artifact(results, complete):
+    dev = jax.devices()[0]
+    payload = {
+        "workload": "scripts/gate_fleet_survival.py — B=1024 scenarios, "
+                    "estimator in loop, flagship6 incl. the 2 N pulse",
+        "seeds": N_SEEDS,
+        "hardware": f"{dev.platform} ({dev.device_kind}, "
+                    f"{jax.device_count()} device(s))",
+        "complete": complete,
+        "results": results,
+    }
+    tmp = OUT.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(payload, indent=1))
+    tmp.replace(OUT)
+
+
 def main():
+    if OUT.exists() and not FORCE:
+        prior = json.loads(OUT.read_text())
+        if prior.get("complete") and prior.get("seeds", 0) > N_SEEDS:
+            sys.exit(
+                f"{OUT} holds complete {prior['seeds']}-seed evidence; "
+                f"refusing to overwrite with a {N_SEEDS}-seed run "
+                f"(pass --force to override)."
+            )
     mesh = make_mesh({"scenario": 1, "rollouts": 1}, devices=jax.devices()[:1])
     results = []
     for model, sampler, ticks, time_ticks in CASES:
@@ -94,15 +129,8 @@ def main():
             row["scenario_ticks_per_s"] = round(B / per_tick, 0)
         print(json.dumps(row), flush=True)
         results.append(row)
-    # Committed artifact (logs/ is gitignored and does not survive between
-    # rounds): the survival evidence the defaults/DESIGN cite lives here.
-    with open("GATES_r03.json", "w") as fh:
-        json.dump({
-            "workload": "scripts/gate_fleet_survival.py — B=1024 scenarios, "
-                        "estimator in loop, flagship6 incl. the 2 N pulse",
-            "hardware": "TPU v5e (1 chip, tunneled)",
-            "results": results,
-        }, fh, indent=1)
+        write_artifact(results, complete=False)
+    write_artifact(results, complete=True)
     print("\nsummary:")
     for r in results:
         extra = f"  {r.get('scenario_ticks_per_s', ''):>9} ticks/s" if "scenario_ticks_per_s" in r else ""

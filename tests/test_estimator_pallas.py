@@ -10,13 +10,15 @@ soa_predict/soa_update/soa_guard trace on reshaped tiles.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mpc_rs_tpu.estimators import ukf_soa
 from mpc_rs_tpu.estimators.ukf import ukf_init
 from mpc_rs_tpu.ops.estimator_pallas import make_estimator_chain
 
 
-def _setup(b=8, n_substeps=2, disturbance=None, control_start=0.0):
+def _setup(b=8, n_substeps=2, disturbance=None, control_start=0.0,
+           substep_loop=None):
     dt = 0.05
 
     def plant_c(xs, u, f):
@@ -44,6 +46,7 @@ def _setup(b=8, n_substeps=2, disturbance=None, control_start=0.0):
     chain = make_estimator_chain(
         params, plant_c, fx_c, hx_c, q, r, sig, p0, n_substeps, dt,
         disturbance=disturbance, control_start=control_start, interpret=True,
+        substep_loop=substep_loop,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(b, 2)) * 0.3)
@@ -82,8 +85,10 @@ def _reference(params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, args,
             jnp.stack([soa.p[i][j] for i in range(2) for j in range(2)]))
 
 
-def test_chain_matches_soa_path():
-    (params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, chain, args) = _setup()
+@pytest.mark.parametrize("substep_loop", [False, True])
+def test_chain_matches_soa_path(substep_loop):
+    (params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, chain, args) = _setup(
+        substep_loop=substep_loop)
     got = chain(*args)
     want = _reference(params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, args, 2)
     for g, w, nm in zip(got, want, ("x", "ukf_x", "p")):
@@ -91,10 +96,11 @@ def test_chain_matches_soa_path():
                                    rtol=2e-5, atol=2e-6, err_msg=nm)
 
 
-def test_chain_disturbance_and_gating():
+@pytest.mark.parametrize("substep_loop", [False, True])
+def test_chain_disturbance_and_gating(substep_loop):
     dist = lambda tt: jnp.where(tt > 0.5, 2.0, 0.0)
     (params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, chain, args) = _setup(
-        disturbance=dist, control_start=0.4)
+        disturbance=dist, control_start=0.4, substep_loop=substep_loop)
     got = chain(*args)
     want = _reference(params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, args, 2,
                       disturbance=dist, control_start=0.4)
