@@ -89,15 +89,24 @@ def mppi_solve(
     key: jax.Array,
     x,
     u_n: jax.Array,
+    noise: jax.Array | None = None,
 ) -> MppiResult:
     """One MPPI solve — the functional analogue of ``Mppi::compute``.
 
     ``x`` is a tuple of state components (scalars or arrays); ``u_n`` is the
     warm-started nominal sequence (N,). jit-able; all shapes static.
+
+    ``noise``: optional externally supplied (K, N) perturbations ε (already
+    scaled — σ is NOT applied again). Used for matched-noise cross-
+    validation against the independent native oracle (native/oracle.cpp),
+    where both implementations must see bit-identical samples.
     """
     n, k = cfg.n_horizon, cfg.n_rollouts
     dtype = u_n.dtype
-    eps = cfg.std_dev * jax.random.normal(key, (k, n), dtype=dtype)
+    if noise is None:
+        eps = cfg.std_dev * jax.random.normal(key, (k, n), dtype=dtype)
+    else:
+        eps = jnp.asarray(noise, dtype)
     v = jnp.clip(u_n + eps, cfg.limit[0], cfg.limit[1])  # src/mppi.rs:39-45
 
     s_k = rollout_scores(dynamics, cost, x, v, u_n, cfg.std_dev, cfg.control_inv)
