@@ -335,11 +335,18 @@ void unscented_transform(int s_dim, int m, const double* sigmas, const double* w
     }
 }
 
+// examples/mppi2.rs:22-27 — 2-state double integrator.
+void dynamics_di2(const double* x, double u, double dt, double* r) {
+  r[0] = x[0] + x[1] * dt;
+  r[1] = x[1] + u * dt;
+}
+
 void apply_fx(int fx_id, const double* x, double u, double dt, double f, double* out) {
   switch (fx_id) {
     case 0: dynamics_cartpole4(x, u, dt, out); break;
     case 1: dynamics_short6(x, u, dt, f, out); break;
     case 2: dynamics_flagship4(x, u, dt, out); break;
+    case 3: dynamics_di2(x, u, dt, out); break;
   }
 }
 
@@ -350,7 +357,7 @@ void apply_hx(int hx_id, const double* x, double* z) {
   }
 }
 
-int state_dim(int fx_id) { return fx_id == 1 ? 6 : 4; }
+int state_dim(int fx_id) { return fx_id == 1 ? 6 : (fx_id == 3 ? 2 : 4); }
 
 }  // namespace
 
@@ -462,6 +469,41 @@ int oracle_mppi_solve(int dyn_id, int cost_id, long long k, int n,
     for (int t = 0; t < n; ++t) u_out[t] = 0.0;
     return 3;
   }
+  return 0;
+}
+
+// The inline mppi2 weighting — examples/mppi2.rs:59-77: w = exp(−c/λ −
+// Σ u/R·v) with NO max-shift, normalized, weighted average. Cost is the
+// double integrator's x0² + x1² accumulated over the rollout (:49-56).
+// v = clamp(u_n + eps) mirrors the library's sampling so the WEIGHTING
+// equivalence (library control_inv = λ/R + max-shift, which cancels under
+// normalization) is what this entry isolates. Returns 0, or 3 if u[0]
+// went NaN/Inf (the example's loop-break condition, :88-90).
+int oracle_mppi2_solve(long long k, int n, const double* x0, const double* u_n,
+                       const double* eps, double lambda, double r_div,
+                       double lim_lo, double lim_hi, double dt, double* u_out) {
+  double sum = 0.0;
+  double acc[64];
+  for (int t = 0; t < n; ++t) acc[t] = 0.0;
+  for (long long i = 0; i < k; ++i) {
+    double v[64];
+    for (int t = 0; t < n; ++t) v[t] = clampd(u_n[t] + eps[i * n + t], lim_lo, lim_hi);
+    double x[2] = {x0[0], x0[1]};
+    double c = 0.0;
+    for (int t = 0; t < n; ++t) {
+      double xn[2];
+      dynamics_di2(x, v[t], dt, xn);
+      x[0] = xn[0]; x[1] = xn[1];
+      c += x[0] * x[0] + x[1] * x[1];
+    }
+    double control_term = 0.0;
+    for (int t = 0; t < n; ++t) control_term += u_n[t] / r_div * v[t];
+    const double w = std::exp(-c / lambda - control_term);
+    sum += w;
+    for (int t = 0; t < n; ++t) acc[t] += w * v[t];
+  }
+  for (int t = 0; t < n; ++t) u_out[t] = acc[t] / sum;
+  if (std::isnan(u_out[0]) || std::isinf(u_out[0])) return 3;
   return 0;
 }
 
