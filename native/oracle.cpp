@@ -412,6 +412,7 @@ int oracle_mppi_solve(int dyn_id, int cost_id, long long k, int n,
                       const double* x0, const double* u_n, const double* eps,
                       double lambda, double std_dev, double lim_lo, double lim_hi,
                       double dt, double* u_out) {
+  if (n > 64) return -1;
   const int s = state_dim(dyn_id);
   const double inv = 1.0 / (std_dev * std_dev);  // src/mppi.rs:48 powi(-2)
   double max_score = -INFINITY;
@@ -482,6 +483,7 @@ int oracle_mppi_solve(int dyn_id, int cost_id, long long k, int n,
 int oracle_mppi2_solve(long long k, int n, const double* x0, const double* u_n,
                        const double* eps, double lambda, double r_div,
                        double lim_lo, double lim_hi, double dt, double* u_out) {
+  if (n > 64) return -1;
   double sum = 0.0;
   double acc[64];
   for (int t = 0; t < n; ++t) acc[t] = 0.0;
