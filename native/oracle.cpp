@@ -525,6 +525,40 @@ int oracle_ukf_predict(int n, int fx_id, double u, double dt, double f,
   return 0;
 }
 
+// Predict with an externally supplied square-root factor: deltas (n, n)
+// row-major, row i = L_i so the sigma set is {x, x ± L_i}. Used by the
+// matched-sqrt cross-validation tests: when C·P has near-degenerate
+// eigenvalues the eigenbasis is ill-defined, so eigh (library) and Jacobi
+// (this oracle) legitimately pick different sigma sets and the filters
+// diverge by O(gain·innovation·angle) — not a transcription signal.
+// Sharing the factor isolates everything else (weights, UT, cross-cov,
+// gain, update, symmetrization) for a tight comparison; the sqrt itself
+// is cross-validated separately on well-separated spectra.
+int oracle_ukf_predict_sqrt(int n, int fx_id, double u, double dt, double f,
+                            const double* q, const double* deltas,
+                            double* x, double* p, double* sigma_f) {
+  const int m = 2 * n + 1;
+  double sigma[(2 * kMaxN + 1) * kMaxN];
+  for (int j = 0; j < n; ++j) sigma[j] = x[j];
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) {
+      sigma[(1 + i) * n + j] = x[j] + deltas[i * n + j];
+      sigma[(1 + n + i) * n + j] = x[j] - deltas[i * n + j];
+    }
+  for (int i = 0; i < m; ++i)
+    apply_fx(fx_id, &sigma[i * n], u, dt, f, &sigma_f[i * n]);
+  double wm[2 * kMaxN + 1], wc[2 * kMaxN + 1], c;
+  merwe_weights(n, wm, wc, &c);
+  unscented_transform(n, m, sigma_f, wm, wc, q, x, p);
+  return 0;
+}
+
+// Bare sigma-point placement (src/ukf2.rs:126-137) for direct sqrt
+// cross-validation. Writes the (2n+1, n) set.
+int oracle_sigma_points(int n, const double* x, const double* p, double* sigma) {
+  return sigma_points(n, x, p, sigma);
+}
+
 // UKF update — src/ukf2.rs:54-74 (gain via Pz^-1, covariance
 // symmetrization (P+P^T)/2).
 int oracle_ukf_update(int n, int o, int hx_id, const double* z, const double* r,
