@@ -59,7 +59,8 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 scenarios: int = 1024, feed_true_state: bool = False,
                 fast_math: bool | None = None, sqrt_method: str | None = None,
                 sampler: str | None = None, ukf_layout: str = "soa",
-                pallas_interpret: bool = False, estimator_chain: bool = False):
+                pallas_interpret: bool = False, estimator_chain: bool = False,
+                estimator_chain_sublanes: int = 1):
     # fast_math=None → per-model default: ON for both models (survival
     # validated per model at B=1024 over multiple seeds — see below).
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
@@ -149,6 +150,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             ukf_q_const=noise.gen_q6(jnp.float32(2.15 * dt)),
             ukf_r_const=jnp.diag(sens),
             estimator_chain=estimator_chain,
+            estimator_chain_sublanes=estimator_chain_sublanes,
         )
         x0 = jnp.zeros(6, jnp.float32)
         theta_idx, guard = 3, math.pi / 2
@@ -195,6 +197,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             ukf_q_const=noise.gen_q4(dt / n_substeps),
             ukf_r_const=jnp.diag(sens * sens),
             estimator_chain=estimator_chain,
+            estimator_chain_sublanes=estimator_chain_sublanes,
         )
         theta_idx, guard = 2, math.radians(60.0)
 

@@ -138,10 +138,16 @@ def _ut_soa(wm1, wc1, sum_wc, fm, cov, n, dim, mode="stacked"):
     s0 = [fm[j][0] for j in range(dim)]
     # per-component deltas (2n, B...) — dense (B on the minor/lane axis)
     deltas = [fm[j][1:] - fm[j][:1] for j in range(dim)]
-    mean = [
-        s0[j] + wm1 * jnp.sum(deltas[j][:n] + deltas[j][n:], axis=0)
-        for j in range(dim)
-    ]
+    # unrolled pair-sum accumulation: Mosaic has no multi_reduction over the
+    # leading axis of a >2-D vector (this code also runs inside the fused
+    # estimator Pallas kernel, where B... is a (1, 128) tile)
+    mean = []
+    for j in range(dim):
+        pairs = deltas[j][:n] + deltas[j][n:]  # (n, B...)
+        acc = pairs[0]
+        for i in range(1, n):
+            acc = acc + pairs[i]
+        mean.append(s0[j] + wm1 * acc)
     # Shifted (cancellation-free) covariance: with d_k = σ_k − σ₀ and
     # e = mean − σ₀,  Σ wc (σ−mean)(σ−mean)ᵀ
     #   = Σ_{k≥1} wc1 d dᵀ − s_d eᵀ − e s_dᵀ + (Σwc)·e eᵀ     (d₀ = 0!)

@@ -78,6 +78,11 @@ def make_estimator_chain(
     # its per-live-value scoped-vmem stack) shrinks by n_substeps. Default:
     # on whenever n_substeps > 1 (the 5-substep cartpole4 unroll is what
     # pushed the remote compile helper past its memory kill line).
+    sublanes: int = 1,  # VMEM tile height bs: each component is a
+    # (bs, 128) tile, so bs=8 uses the full (8, 128) VPU tile while bs=1
+    # uses 1/8 of the sublanes. Capped by the Mosaic scoped-vmem stack
+    # (one bs·128·4-byte slot per live trace value) — measured limits in
+    # scripts/diag_estimator_chain.py.
 ):
     """Returns ``chain(x_plant (B,S), ukf_x (B,n), p_packed (n²,B), u0 (B,),
     t (B,), noise (n_substeps·o, B)) -> (x' (B,S), ukf_x' (B,n), p' (n²,B))``.
@@ -168,15 +173,19 @@ def make_estimator_chain(
                     out_ref[s_dim + n + i * n + j, 0] = soa.p[i][j]
 
         if b % _LANES == 0:
-            # bs=1: Mosaic stack-allocates one slot per live trace value and
-            # this kernel's unrolled entrywise trace is ~8k values — at
-            # bs=8 that is a 61.6 MB scoped-vmem stack (measured OOM vs the
-            # 16 MB v5e VMEM); at bs=1 it fits with room for the I/O blocks.
-            # (1, 128) tiles use 1/8 of the VPU's sublanes, which is still
-            # 16× denser than the f32[B,1] layout XLA chose for this chain.
-            bs = 1
+            # Default bs=1: Mosaic stack-allocates one slot per live trace
+            # value and this kernel's unrolled entrywise trace is ~8k values
+            # — at bs=8 that is a 61.6 MB scoped-vmem stack (measured OOM vs
+            # the 16 MB v5e VMEM); at bs=1 it fits with room for the I/O
+            # blocks. (1, 128) tiles use 1/8 of the VPU's sublanes, which is
+            # still 16× denser than the f32[B,1] layout XLA chose for this
+            # chain. With substep_loop the live set shrinks by n_substeps,
+            # so larger ``sublanes`` may fit — pass it explicitly.
+            bs = sublanes
             blk = bs * _LANES
             lanes = _LANES
+            if b % blk:
+                raise ValueError(f"B={b} must be a multiple of sublanes*128={blk}")
         else:
             if not interpret:
                 raise ValueError(f"B={b} must be a multiple of 128 on hardware")

@@ -76,6 +76,8 @@ def make_scenario_step(
     # enables the fused estimator-chain Pallas kernel on the soa+pallas path
     ukf_q_const=None,  # (n, n) static process noise — required for the chain kernel
     ukf_r_const=None,  # (o, o) static measurement noise — required for the chain kernel
+    estimator_chain_sublanes: int = 1,  # VMEM tile height for the chain
+    # kernel (see ops/estimator_pallas.py ``sublanes``)
     estimator_chain: bool = False,  # opt-in: ONE Pallas launch for the whole
     # plant→sensor→UKF chain (ops/estimator_pallas.py). Correct (interpret-
     # mode parity tests) but this image's remote Mosaic compile helper is
@@ -142,7 +144,7 @@ def make_scenario_step(
             ukf_q_const, ukf_r_const, sensor_stddevs, ukf_p_reset,
             n_substeps, dt_tick / n_substeps,
             disturbance=disturbance, control_start=control_start,
-            interpret=pallas_interpret,
+            interpret=pallas_interpret, sublanes=estimator_chain_sublanes,
         )
 
     def merge(parts: MppiPartials) -> MppiPartials:

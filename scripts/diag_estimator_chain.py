@@ -28,7 +28,8 @@ from mpc_rs_tpu.apps.fleet import build_fleet
 from mpc_rs_tpu.parallel.mesh import make_mesh
 
 B = 1024
-MODELS = sys.argv[1:] or ["cartpole4", "flagship6"]
+# args: model or model:sublanes (chain tile height, ops/estimator_pallas.py)
+ARGS = sys.argv[1:] or ["cartpole4", "flagship6"]
 TIME_TICKS = {"cartpole4": 2000, "flagship6": 800}
 SURV_TICKS = {"cartpole4": 100, "flagship6": 300}
 
@@ -61,13 +62,15 @@ def time_marginal(tick, carry, n_long):
 
 def main():
     mesh = make_mesh({"scenario": 1, "rollouts": 1}, devices=jax.devices()[:1])
-    for model in MODELS:
-        for chain in (False, True):
-            label = f"{model} chain={chain}"
+    for arg in ARGS:
+        model, _, sub = arg.partition(":")
+        sub = int(sub) if sub else 1
+        for chain in ((True,) if sub > 1 else (False, True)):
+            label = f"{model} chain={chain} bs={sub}"
             try:
                 tick, carry, dt, theta_idx, guard = build_fleet(
                     model, 0, "pallas", mesh, scenarios=B, seed=0,
-                    estimator_chain=chain,
+                    estimator_chain=chain, estimator_chain_sublanes=sub,
                 )
                 t0 = time.perf_counter()
                 c1 = jax.jit(tick)(carry)

@@ -18,7 +18,7 @@ from mpc_rs_tpu.ops.estimator_pallas import make_estimator_chain
 
 
 def _setup(b=8, n_substeps=2, disturbance=None, control_start=0.0,
-           substep_loop=None):
+           substep_loop=None, sublanes=1):
     dt = 0.05
 
     def plant_c(xs, u, f):
@@ -46,7 +46,7 @@ def _setup(b=8, n_substeps=2, disturbance=None, control_start=0.0,
     chain = make_estimator_chain(
         params, plant_c, fx_c, hx_c, q, r, sig, p0, n_substeps, dt,
         disturbance=disturbance, control_start=control_start, interpret=True,
-        substep_loop=substep_loop,
+        substep_loop=substep_loop, sublanes=sublanes,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(b, 2)) * 0.3)
@@ -104,6 +104,18 @@ def test_chain_disturbance_and_gating(substep_loop):
     got = chain(*args)
     want = _reference(params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, args, 2,
                       disturbance=dist, control_start=0.4)
+    for g, w, nm in zip(got, want, ("x", "ukf_x", "p")):
+        np.testing.assert_allclose(np.array(g), np.array(w, np.float32),
+                                   rtol=2e-5, atol=2e-6, err_msg=nm)
+
+
+def test_chain_sublanes_parity():
+    """sublanes=2 runs (2, 128) VMEM tiles (half the grid steps); results
+    must match the SoA reference exactly like the bs=1 layout does."""
+    (params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, chain, args) = _setup(
+        b=256, sublanes=2, substep_loop=True)
+    got = chain(*args)
+    want = _reference(params, plant_c, fx_c, hx_c, q, r, sig, p0, dt, args, 2)
     for g, w, nm in zip(got, want, ("x", "ukf_x", "p")):
         np.testing.assert_allclose(np.array(g), np.array(w, np.float32),
                                    rtol=2e-5, atol=2e-6, err_msg=nm)
