@@ -509,6 +509,89 @@ int oracle_mppi2_solve(long long k, int n, const double* x0, const double* u_n,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Condensed-QP gradient MPC — examples/op-mpc-x-calc.rs
+// ---------------------------------------------------------------------------
+
+namespace opx {
+// op-mpc-x-calc.rs:186-194 (NOTE: this D is the CONSTANT linearized
+// denominator, minus M2²L² with no cos — unlike the nonlinear models)
+constexpr double M1 = 150e-3;
+constexpr double R = 50e-3;
+constexpr double M2 = 2.3 - 2.0 * M1 + 2.0;
+constexpr double L = 0.2474;
+constexpr double J1 = M1 * R * R;
+constexpr double J2 = 0.2;
+constexpr double G = 9.81;
+constexpr double KT = 0.15;
+constexpr double D = (M1 + M2 + J1 / (R * R)) * (M2 * L * L + J2) - M2 * M2 * L * L;
+constexpr double DT = 0.8 / 8.0;  // :6-8
+constexpr int N = 8;
+constexpr int S = 4;
+
+// op-mpc-x-calc.rs:10-21
+void a_matrix(double a[S][S]) {
+  const double a_init[S][S] = {
+      {1.0, DT, 0.0, 0.0},
+      {0.0, 1.0, -M2 * M2 * G * L * L / D * DT, 0.0},
+      {0.0, 0.0, 1.0, DT},
+      {0.0, 0.0, (M1 + M2 + J1 / (R * R)) / D * M2 * G * L * DT, 1.0}};
+  std::memcpy(a, a_init, sizeof(a_init));
+}
+void b_vector(double b[S]) {
+  b[0] = 0.0;
+  b[1] = (M2 * L * L + J2) / D / R * KT * DT;
+  b[2] = 0.0;
+  b[3] = -M2 * L / D / R * KT * DT;
+}
+
+// op-mpc-x-calc.rs:29-39 — raised-cosine parking reference, column-major
+// flattened (= step-major blocks of 4, :80).
+void gen_ref(const double* x, double* r /* S*N */) {
+  for (int i = 0; i < N; ++i) {
+    const double phase = kPi * static_cast<double>(i) / static_cast<double>(N);
+    r[S * i + 0] = (x[0] * (1.0 + std::cos(phase))) / 2.0;
+    r[S * i + 1] = clampd(-0.4 * x[0], -2.0, 2.0) * std::sin(phase);
+    r[S * i + 2] = clampd(-0.5 * x[0], -0.35, 0.35) * (1.0 * std::cos(phase)) / 2.0;
+    r[S * i + 3] = clampd(-0.5 * x[0], -1.5, 1.5) * std::sin(phase);
+  }
+}
+
+// create_a_matrix!/create_g_matrix!/create_q_matrix! (op-mpc-x-calc.rs:41-71
+// == src/mpc.rs:2-36): F (SN, S) of A powers, lower-triangular G of
+// A^(i-j)B, block-diagonal Q of C = diag(5, 5, 1, 1) (:22-27).
+void build_fgq(double f[S * N][S], double g[S * N][N], double qdiag[S * N]) {
+  double a[S][S], b[S];
+  a_matrix(a);
+  b_vector(b);
+  double apow[N + 1][S][S];  // apow[k] = A^k
+  for (int i = 0; i < S; ++i)
+    for (int j = 0; j < S; ++j) apow[0][i][j] = (i == j) ? 1.0 : 0.0;
+  for (int k = 1; k <= N; ++k)
+    for (int i = 0; i < S; ++i)
+      for (int j = 0; j < S; ++j) {
+        double acc = 0.0;
+        for (int t = 0; t < S; ++t) acc += apow[k - 1][i][t] * a[t][j];
+        apow[k][i][j] = acc;
+      }
+  for (int i = 0; i < N; ++i)
+    for (int r = 0; r < S; ++r)
+      for (int c = 0; c < S; ++c) f[S * i + r][c] = apow[i + 1][r][c];
+  for (int i = 0; i < S * N; ++i)
+    for (int j = 0; j < N; ++j) g[i][j] = 0.0;
+  for (int i = 0; i < N; ++i)
+    for (int j = 0; j <= i; ++j)
+      for (int r = 0; r < S; ++r) {
+        double acc = 0.0;
+        for (int t = 0; t < S; ++t) acc += apow[i - j][r][t] * b[t];
+        g[S * i + r][j] = acc;
+      }
+  const double cdiag[S] = {5.0, 5.0, 1.0, 1.0};
+  for (int i = 0; i < N; ++i)
+    for (int r = 0; r < S; ++r) qdiag[S * i + r] = cdiag[r];
+}
+}  // namespace opx
+
 // UKF predict — src/ukf2.rs:44-52. x (n), p (n,n) updated in place; the
 // propagated sigma set (2n+1, n) is written to sigma_f for the update.
 // fx_id: 0 = cartpole4 (dt), 1 = flagship 6-state (dt, f), 2 = flagship4.
@@ -557,6 +640,142 @@ int oracle_ukf_predict_sqrt(int n, int fx_id, double u, double dt, double f,
 // cross-validation. Writes the (2n+1, n) set.
 int oracle_sigma_points(int n, const double* x, const double* p, double* sigma) {
   return sigma_points(n, x, p, sigma);
+}
+
+// Condensed-QP cost + analytic gradient — op-mpc-x-calc.rs:73-98 at the
+// op-mpc-x-calc configuration (N=8, the linearized A/B, C=diag(5,5,1,1),
+// raised-cosine gen_ref). Like the reference, F/G/Q are rebuilt per call.
+void oracle_qp_cost_grad(const double* x, const double* u, double* cost_out,
+                         double* grad_out) {
+  using namespace opx;
+  double f[S * N][S], g[S * N][N], qd[S * N];
+  build_fgq(f, g, qd);
+  double xref[S * N];
+  gen_ref(x, xref);
+  double res[S * N];  // Gu + Fx − xref
+  for (int i = 0; i < S * N; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j < N; ++j) acc += g[i][j] * u[j];
+    for (int j = 0; j < S; ++j) acc += f[i][j] * x[j];
+    res[i] = acc - xref[i];
+  }
+  // grad = 2 Gᵀ Q (Gu + Fx − xref)
+  for (int j = 0; j < N; ++j) {
+    double acc = 0.0;
+    for (int i = 0; i < S * N; ++i) acc += g[i][j] * qd[i] * res[i];
+    grad_out[j] = 2.0 * acc;
+  }
+  // cost = uᵀGᵀQGu + 2(xᵀFᵀ − xrefᵀ)QGu  (op-mpc-x-calc.rs:80-82);
+  // (xᵀFᵀ − xrefᵀ) entries are res − Gu
+  double gu[S * N];
+  for (int i = 0; i < S * N; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j < N; ++j) acc += g[i][j] * u[j];
+    gu[i] = acc;
+  }
+  double left = 0.0, right = 0.0;
+  for (int i = 0; i < S * N; ++i) {
+    left += gu[i] * qd[i] * gu[i];
+    right += (res[i] - gu[i]) * qd[i] * gu[i];
+  }
+  *cost_out = left + 2.0 * right;
+}
+
+// Exact global box-QP solve of the op-mpc-x-calc condensed problem at
+// state x: min over lo ≤ u ≤ hi of uᵀHu + bᵀu with H = GᵀQG and
+// b = 2GᵀQ(Fx − xref), by brute-force active-set enumeration (3^N
+// candidate sets, KKT-checked; convex SPD ⇒ the KKT point is the global
+// minimizer). Independent end-to-end check of controllers/qp.py
+// box_qp_newton. Returns 0 on success, 1 if no candidate satisfied KKT
+// (cannot happen for SPD H within tolerance).
+int oracle_qp_solve_box(const double* x, double lo, double hi, double* u_out) {
+  using namespace opx;
+  double f[S * N][S], g[S * N][N], qd[S * N];
+  build_fgq(f, g, qd);
+  double xref[S * N];
+  gen_ref(x, xref);
+  double h[N][N];  // GᵀQG
+  for (int i = 0; i < N; ++i)
+    for (int j = 0; j < N; ++j) {
+      double acc = 0.0;
+      for (int t = 0; t < S * N; ++t) acc += g[t][i] * qd[t] * g[t][j];
+      h[i][j] = acc;
+    }
+  double bvec[N];  // 2GᵀQ(Fx − xref)
+  for (int j = 0; j < N; ++j) {
+    double acc = 0.0;
+    for (int t = 0; t < S * N; ++t) {
+      double fx = 0.0;
+      for (int c = 0; c < S; ++c) fx += f[t][c] * x[c];
+      acc += g[t][j] * qd[t] * (fx - xref[t]);
+    }
+    bvec[j] = 2.0 * acc;
+  }
+  double best_cost = INFINITY;
+  bool found = false;
+  double scale = 0.0;
+  for (int i = 0; i < N; ++i) scale = std::max(scale, std::fabs(bvec[i]));
+  for (int i = 0; i < N; ++i)
+    for (int j = 0; j < N; ++j) scale = std::max(scale, std::fabs(h[i][j]));
+  const double tol = 1e-9 * (scale + 1.0);
+  int assign[N];  // 0 = free, 1 = at lo, 2 = at hi
+  const long long total = 6561;  // 3^8
+  for (long long code = 0; code < total; ++code) {
+    long long c = code;
+    int n_free = 0;
+    int free_idx[N];
+    double u[N];
+    for (int i = 0; i < N; ++i) {
+      assign[i] = static_cast<int>(c % 3);
+      c /= 3;
+      if (assign[i] == 0) free_idx[n_free++] = i;
+      else u[i] = (assign[i] == 1) ? lo : hi;
+    }
+    // solve (2H)_FF u_F = −(b_F + 2 H_FA u_A)
+    if (n_free > 0) {
+      double a_sub[kMaxN * kMaxN], rhs[kMaxN];
+      for (int r = 0; r < n_free; ++r) {
+        const int i = free_idx[r];
+        double acc = bvec[i];
+        for (int j = 0; j < N; ++j)
+          if (assign[j] != 0) acc += 2.0 * h[i][j] * u[j];
+        rhs[r] = -acc;
+        for (int cidx = 0; cidx < n_free; ++cidx)
+          a_sub[r * n_free + cidx] = 2.0 * h[i][free_idx[cidx]];
+      }
+      double a_inv[kMaxN * kMaxN];
+      if (invert(n_free, a_sub, a_inv)) continue;
+      for (int r = 0; r < n_free; ++r) {
+        double acc = 0.0;
+        for (int cidx = 0; cidx < n_free; ++cidx) acc += a_inv[r * n_free + cidx] * rhs[cidx];
+        u[free_idx[r]] = acc;
+      }
+    }
+    // KKT feasibility: free vars in box; active-at-lo grad ≥ 0, at-hi ≤ 0
+    bool ok = true;
+    double grad[N];
+    for (int i = 0; i < N && ok; ++i) {
+      double acc = bvec[i];
+      for (int j = 0; j < N; ++j) acc += 2.0 * h[i][j] * u[j];
+      grad[i] = acc;
+      if (assign[i] == 0) ok = (u[i] >= lo - 1e-12 && u[i] <= hi + 1e-12);
+      else if (assign[i] == 1) ok = (grad[i] >= -tol);
+      else ok = (grad[i] <= tol);
+    }
+    if (!ok) continue;
+    double cost = 0.0;
+    for (int i = 0; i < N; ++i) {
+      double hu = 0.0;
+      for (int j = 0; j < N; ++j) hu += h[i][j] * u[j];
+      cost += u[i] * hu + bvec[i] * u[i];
+    }
+    if (cost < best_cost) {
+      best_cost = cost;
+      for (int i = 0; i < N; ++i) u_out[i] = u[i];
+      found = true;
+    }
+  }
+  return found ? 0 : 1;
 }
 
 // UKF update — src/ukf2.rs:54-74 (gain via Pz^-1, covariance
