@@ -88,9 +88,13 @@ def make_batch_solver(cfg: MppiConfig, step, cost, n_state: int,
         u = jnp.where((st != 0)[:, None], 0.0, u)  # zero fallback, per robot
         return u, u[:, 0], st
 
+    # np.array(..., copy=True): on CPU backends jnp.asarray can alias a
+    # same-dtype numpy buffer zero-copy, and the caller's preallocated
+    # state table is mutated in place on the NEXT tick while a pipelined
+    # (async) solve may still be reading this one's input.
     return lambda seeds, xs, u_ns: solve(
-        jnp.asarray(np.asarray(seeds, np.int32)),
-        jnp.asarray(np.asarray(xs, np.float32)),
+        jnp.asarray(np.array(seeds, np.int32)),
+        jnp.asarray(np.array(xs, np.float32)),
         u_ns,
     )
 
