@@ -13,6 +13,7 @@ from mpc_rs_tpu.controllers.panoc import (
     ball2_projection,
     box_projection,
     make_fd_value_and_grad,
+    make_shifted_fd_value_and_grad,
     panoc_solve,
 )
 from mpc_rs_tpu.controllers.qp import build_condensed_qp, make_qp_value_and_grad
@@ -49,7 +50,8 @@ def _retry_solve(solve_fn, u_n, limit):
 
 def op_mpc_x(args):
     """Nonlinear-cost gradient MPC (autodiff replaces the rayon numeric
-    gradient; --fd for the central-difference oracle) — examples/op-mpc-x.rs.
+    gradient; --fd replicates the reference's pre-stepped-state FD scheme
+    exactly, quirk included) — examples/op-mpc-x.rs.
 
     T=0.5 N=50, GAIN=[0,9.2,16,0.5,0], cosh barrier, bounds ±30."""
     p = CartPoleParams.single_wheel_light()
@@ -60,11 +62,12 @@ def op_mpc_x(args):
     cost = costs.make_tracking_rollout_cost(step, pe, [0.0, 9.2, 16.0, 0.5, 0.0], barrier=1.0)
     cfg = PanocConfig(tol=1e-6, max_iter=args.max_iter or 60, lbfgs_mem=20)
     proj = box_projection(-30.0, 30.0)
+    ref_fd = make_shifted_fd_value_and_grad(cost, step, eps=1e-3)
 
     @jax.jit
     def tick(x, u):
         f = lambda uu: cost(x, uu)
-        vg = make_fd_value_and_grad(f, eps=1e-3) if args.fd else None
+        vg = ref_fd(x) if args.fd else None
         res = panoc_solve(cfg, f, proj, u, value_and_grad=vg)
         return res
 

@@ -297,9 +297,11 @@ def panoc_solve(
 
 
 def make_fd_value_and_grad(f: Callable, eps: float = 1e-3):
-    """Central-difference gradient oracle, vmapped over components —
-    the exact scheme of op-mpc-x.rs:132-151 (EPS=0.001) for parity tests;
-    prefer jax.grad in production (SURVEY §2d)."""
+    """Plain central-difference gradient of ``f`` itself, vmapped over
+    components (EPS matches op-mpc-x.rs:131). NOTE this is the textbook
+    scheme, not the reference's — see ``make_shifted_fd_value_and_grad``
+    for the exact op-mpc-x.rs:132-151 semantics. Prefer jax.grad in
+    production (SURVEY §2d)."""
 
     def vg(u):
         n = u.shape[-1]
@@ -309,3 +311,34 @@ def make_fd_value_and_grad(f: Callable, eps: float = 1e-3):
         return f(u), (f_pos - f_neg) / (2 * eps)
 
     return vg
+
+
+def make_shifted_fd_value_and_grad(cost_from_state: Callable, step: Callable,
+                                   eps: float = 1e-3):
+    """The reference's numeric gradient, transcribed EXACTLY —
+    op-mpc-x.rs:132-151: each component i differentiates the cost evaluated
+    from ``dynamics_cpy(x, u[i])`` (the state pre-stepped once by u[i]),
+    not from x itself. The returned df is therefore inconsistent with f by
+    one plant step per component — an idiosyncrasy of the reference that
+    its PANOC retry loop absorbs; replicated here behind the ``--fd``
+    parity flag (cross-validated against native/oracle.cpp).
+
+    ``cost_from_state(x, u) -> scalar``; ``step(x, u) -> x`` vector form.
+    Returns ``vg(x) -> (u) -> (f(u), df(u))`` with f(u) = cost_from_state(x, u).
+    """
+
+    def make(x):
+        def vg(u):
+            n = u.shape[-1]
+            eye = jnp.eye(n, dtype=u.dtype) * eps
+            x_pre = jax.vmap(lambda ui: step(x, ui))(u)  # (N, S) — :135-136
+
+            def comp(xi, e):
+                return cost_from_state(xi, u + e) - cost_from_state(xi, u - e)
+
+            grad = jax.vmap(comp)(x_pre, eye) / (2 * eps)
+            return cost_from_state(x, u), grad
+
+        return vg
+
+    return make

@@ -510,6 +510,69 @@ int oracle_mppi2_solve(long long k, int n, const double* x0, const double* u_n,
 }
 
 // ---------------------------------------------------------------------------
+// Nonlinear-cost gradient MPC — examples/op-mpc-x.rs
+// ---------------------------------------------------------------------------
+
+namespace opnl {
+// op-mpc-x.rs:26-47 — the LIGHT param set: M2 = 2.3 − 2·M1 (no +2.0)
+constexpr double M1 = 150e-3;
+constexpr double R = 50e-3;
+constexpr double M2 = 2.3 - 2.0 * M1;
+constexpr double L = 0.2474;
+constexpr double J1 = M1 * R * R;
+constexpr double J2 = 0.2;
+constexpr double G = 9.81;
+constexpr double KT = 0.15;
+constexpr double D = (M1 + M2 + J1 / (R * R)) * (M2 * L * L + J2) - M2 * M2 * L * L;
+constexpr double DT = 0.5 / 50.0;  // :49-61 live values T=0.5, N=50
+// GAIN — op-mpc-x.rs:80 (live line)
+constexpr double GAIN[5] = {0.0, 9.2, 16.0, 0.5, 0.0};
+
+// op-mpc-x.rs:64-69 — IN-PLACE sequential update: x3 from OLD x2; x2 from
+// NEW x3; x1 from NEW x2; x0 from NEW x1.
+void dynamics_inplace(double* x, double u) {
+  x[3] += ((M1 + M2 + J1 / (R * R)) / D * M2 * G * L * x[2] - M2 * L / D / R * KT * u) * DT;
+  x[2] += x[3] * DT;
+  x[1] += (-M2 * M2 * G * L * L / D * x[2] + (M2 * L * L + J2) / D / R * KT * u) * DT;
+  x[0] += x[1] * DT;
+}
+
+// op-mpc-x.rs:86-102
+void planning_err(const double* x, double* e) {
+  const double x_g = x[0] + x[2] * L;
+  const double x_g_ref = clampd(0.0 - x_g, -1.5, 1.5);
+  const double x_g_err = x_g_ref - x_g;
+  const double x_g_dot = x[1] + x[3] * L;
+  const double x_g_dot_ref = clampd(1.5 * x_g_err, -1.5, 1.5);
+  const double x_g_dot_err = x_g_dot_ref - x_g_dot;
+  const double theta_ref = clampd(0.5 * x_g_dot_err, -0.3, 0.3);
+  const double theta_err = theta_ref - x[2];
+  const double theta_dot_err = 0.0 - x[3];
+  e[0] = x_g_err;
+  e[1] = x_g_dot_err;
+  e[2] = theta_err;
+  e[3] = theta_dot_err;
+}
+
+// op-mpc-x.rs:106-125 — rollout tracking cost with the cosh soft barrier.
+double tracking_cost(const double* x0, const double* u, int n) {
+  double x[4] = {x0[0], x0[1], x0[2], x0[3]};
+  double c = 0.0;
+  for (int t = 0; t < n; ++t) {
+    dynamics_inplace(x, u[t]);
+    double e[4];
+    planning_err(x, e);
+    c += GAIN[0] * e[0] * e[0] + GAIN[1] * e[1] * e[1] * e[1] * e[1] +
+         GAIN[2] * e[2] * e[2] * e[2] * e[2] + GAIN[3] * e[3] * e[3] * e[3] * e[3] +
+         GAIN[4] * u[t] * u[t];
+    const double bar = std::cosh(x[2]) - 1.2;
+    c += bar > 0.0 ? bar : 0.0;
+  }
+  return c;
+}
+}  // namespace opnl
+
+// ---------------------------------------------------------------------------
 // Condensed-QP gradient MPC — examples/op-mpc-x-calc.rs
 // ---------------------------------------------------------------------------
 
@@ -640,6 +703,32 @@ int oracle_ukf_predict_sqrt(int n, int fx_id, double u, double dt, double f,
 // cross-validation. Writes the (2n+1, n) set.
 int oracle_sigma_points(int n, const double* x, const double* p, double* sigma) {
   return sigma_points(n, x, p, sigma);
+}
+
+// op-mpc-x tracking cost + the reference's central-difference gradient
+// (op-mpc-x.rs:132-151, EPS = 1e-3, serialized here).
+double oracle_tracking_cost(const double* x0, const double* u, int n) {
+  return opnl::tracking_cost(x0, u, n);
+}
+
+void oracle_tracking_grad_fd(const double* x0, const double* u, int n, double* grad) {
+  // The reference's scheme EXACTLY (op-mpc-x.rs:132-151): component i's
+  // central difference is evaluated from dynamics_cpy(x, u[i]) — the
+  // state pre-stepped once by u[i] — not from x itself.
+  constexpr double kEps = 1e-3;  // :133
+  double up[64];
+  for (int t = 0; t < n; ++t) up[t] = u[t];
+  for (int i = 0; i < n; ++i) {
+    double x_pre[4] = {x0[0], x0[1], x0[2], x0[3]};
+    opnl::dynamics_inplace(x_pre, u[i]);  // :135-136 dynamics_cpy(x, u[i])
+    const double saved = up[i];
+    up[i] = saved + kEps;
+    const double cp = opnl::tracking_cost(x_pre, up, n);
+    up[i] = saved - kEps;  // u_cpy[i] -= 2*EPS after += EPS (:142-144)
+    const double cm = opnl::tracking_cost(x_pre, up, n);
+    up[i] = saved;
+    grad[i] = (cp - cm) / (2.0 * kEps);
+  }
 }
 
 // Condensed-QP cost + analytic gradient — op-mpc-x-calc.rs:73-98 at the
