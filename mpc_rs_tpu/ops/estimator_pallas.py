@@ -189,6 +189,10 @@ def make_estimator_chain(
         else:
             if not interpret:
                 raise ValueError(f"B={b} must be a multiple of 128 on hardware")
+            if sublanes != 1:
+                raise ValueError(
+                    f"sublanes={sublanes} requires B % 128 == 0 (got B={b}); the"
+                    " interpret fallback would silently run the bs=1 layout")
             bs, blk, lanes = 1, b, b
         g = b // blk
         packed = jnp.concatenate(

@@ -660,6 +660,7 @@ void build_fgq(double f[S * N][S], double g[S * N][N], double qdiag[S * N]) {
 // fx_id: 0 = cartpole4 (dt), 1 = flagship 6-state (dt, f), 2 = flagship4.
 int oracle_ukf_predict(int n, int fx_id, double u, double dt, double f,
                        const double* q, double* x, double* p, double* sigma_f) {
+  if (n > kMaxN) return 2;
   const int m = 2 * n + 1;
   double sigma[(2 * kMaxN + 1) * kMaxN];
   if (sigma_points(n, x, p, sigma)) return 1;
@@ -683,6 +684,7 @@ int oracle_ukf_predict(int n, int fx_id, double u, double dt, double f,
 int oracle_ukf_predict_sqrt(int n, int fx_id, double u, double dt, double f,
                             const double* q, const double* deltas,
                             double* x, double* p, double* sigma_f) {
+  if (n > kMaxN) return 2;
   const int m = 2 * n + 1;
   double sigma[(2 * kMaxN + 1) * kMaxN];
   for (int j = 0; j < n; ++j) sigma[j] = x[j];
@@ -702,12 +704,14 @@ int oracle_ukf_predict_sqrt(int n, int fx_id, double u, double dt, double f,
 // Bare sigma-point placement (src/ukf2.rs:126-137) for direct sqrt
 // cross-validation. Writes the (2n+1, n) set.
 int oracle_sigma_points(int n, const double* x, const double* p, double* sigma) {
+  if (n > kMaxN) return 2;
   return sigma_points(n, x, p, sigma);
 }
 
 // op-mpc-x tracking cost + the reference's central-difference gradient
 // (op-mpc-x.rs:132-151, EPS = 1e-3, serialized here).
 double oracle_tracking_cost(const double* x0, const double* u, int n) {
+  if (n > 64) return NAN;
   return opnl::tracking_cost(x0, u, n);
 }
 
@@ -716,6 +720,10 @@ void oracle_tracking_grad_fd(const double* x0, const double* u, int n, double* g
   // central difference is evaluated from dynamics_cpy(x, u[i]) — the
   // state pre-stepped once by u[i] — not from x itself.
   constexpr double kEps = 1e-3;  // :133
+  if (n > 64) {
+    for (int i = 0; i < (n > 0 ? n : 0) && i < 64; ++i) grad[i] = NAN;
+    return;
+  }
   double up[64];
   for (int t = 0; t < n; ++t) up[t] = u[t];
   for (int i = 0; i < n; ++i) {
@@ -871,6 +879,7 @@ int oracle_qp_solve_box(const double* x, double lo, double hi, double* u_out) {
 // symmetrization (P+P^T)/2).
 int oracle_ukf_update(int n, int o, int hx_id, const double* z, const double* r,
                       const double* sigma_f, double* x, double* p) {
+  if (n > kMaxN || o > kMaxN) return 2;
   const int m = 2 * n + 1;
   double sigmas_h[(2 * kMaxN + 1) * kMaxN];
   for (int i = 0; i < m; ++i) apply_hx(hx_id, &sigma_f[i * n], &sigmas_h[i * o]);

@@ -57,9 +57,15 @@ def write_artifact(results, complete):
         "complete": complete,
         "results": results,
     }
+    # In-progress snapshots go to a SIDE file so a rerun interrupted
+    # mid-way never clobbers the committed complete artifact; only a
+    # COMPLETE run atomically replaces GATES.json.
+    target = OUT if complete else OUT.with_suffix(".json.partial")
     tmp = OUT.with_suffix(".json.tmp")
     tmp.write_text(json.dumps(payload, indent=1))
-    tmp.replace(OUT)
+    tmp.replace(target)
+    if complete:
+        OUT.with_suffix(".json.partial").unlink(missing_ok=True)
 
 
 def main():
