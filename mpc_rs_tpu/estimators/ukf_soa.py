@@ -94,7 +94,7 @@ def _sigma_points_soa(c, x, p, n, mode="stacked"):
     return pts
 
 
-def _ut_soa(wm1, wc1, sum_wc, fm, cov, n, dim, mode="stacked"):
+def _ut_soa(wm1, wc1, sum_wc, fm, cov, n, dim, mode="stacked", unroll_sum=False):
     """Unscented transform (src/ukf.rs:96-110) with the cancellation-free
     f32 mean (pair-summed deltas; see estimators.ukf) AND the
     cancellation-free shifted covariance (below).
@@ -138,16 +138,26 @@ def _ut_soa(wm1, wc1, sum_wc, fm, cov, n, dim, mode="stacked"):
     s0 = [fm[j][0] for j in range(dim)]
     # per-component deltas (2n, B...) — dense (B on the minor/lane axis)
     deltas = [fm[j][1:] - fm[j][:1] for j in range(dim)]
-    # unrolled pair-sum accumulation: Mosaic has no multi_reduction over the
-    # leading axis of a >2-D vector (this code also runs inside the fused
-    # estimator Pallas kernel, where B... is a (1, 128) tile)
-    mean = []
-    for j in range(dim):
-        pairs = deltas[j][:n] + deltas[j][n:]  # (n, B...)
-        acc = pairs[0]
-        for i in range(1, n):
-            acc = acc + pairs[i]
-        mean.append(s0[j] + wm1 * acc)
+    if unroll_sum:
+        # unrolled pair-sum accumulation: Mosaic has no multi_reduction over
+        # the leading axis of a >2-D vector, so the fused estimator kernel
+        # (ops/estimator_pallas.py, B... a (bs, 128) tile) needs scalar adds.
+        # KERNEL-ONLY: the different f32 accumulation order shifts fleet
+        # trajectories enough to flip marginal low-B seeds (measured:
+        # fleet-flagship6 acceptance 17/20 vs 20/20 at B=24 CPU), so the
+        # default tier keeps jnp.sum.
+        mean = []
+        for j in range(dim):
+            pairs = deltas[j][:n] + deltas[j][n:]  # (n, B...)
+            acc = pairs[0]
+            for i in range(1, n):
+                acc = acc + pairs[i]
+            mean.append(s0[j] + wm1 * acc)
+    else:
+        mean = [
+            s0[j] + wm1 * jnp.sum(deltas[j][:n] + deltas[j][n:], axis=0)
+            for j in range(dim)
+        ]
     # Shifted (cancellation-free) covariance: with d_k = σ_k − σ₀ and
     # e = mean − σ₀,  Σ wc (σ−mean)(σ−mean)ᵀ
     #   = Σ_{k≥1} wc1 d dᵀ − s_d eᵀ − e s_dᵀ + (Σwc)·e eᵀ     (d₀ = 0!)
@@ -246,7 +256,7 @@ def _chol_solve_equilibrated(pz, rhs_rows, o):
 
 
 def soa_predict(params, state: SoaUkfState, u, fx: Callable, q,
-                mode: str = "stacked") -> SoaUkfState:
+                mode: str = "stacked", unroll_sum: bool = False) -> SoaUkfState:
     """Time update (src/ukf.rs:44-52). ``fx`` component form; ``q`` an
     (n, n) array-like of scalars (the fleets' additive process noise)."""
     n = params.n
@@ -261,13 +271,14 @@ def soa_predict(params, state: SoaUkfState, u, fx: Callable, q,
     u_b = jnp.asarray(u)[None]
     fm = [jnp.broadcast_to(c_, xs_m[0].shape) for c_ in fx(xs_m, u_b)]
     qrows = [[q[i][j] for j in range(n)] for i in range(n)]
-    mean, _, pmat = _ut_soa(wm1, wc1, sum_wc, fm, qrows, n, n, mode=mode)
+    mean, _, pmat = _ut_soa(wm1, wc1, sum_wc, fm, qrows, n, n, mode=mode,
+                            unroll_sum=unroll_sum)
     return SoaUkfState(x=tuple(mean), p=tuple(tuple(r) for r in pmat),
                        sigma_f=tuple(fm))
 
 
 def soa_update(params, state: SoaUkfState, z, hx: Callable, r,
-               mode: str = "stacked") -> SoaUkfState:
+               mode: str = "stacked", unroll_sum: bool = False) -> SoaUkfState:
     """Measurement update (src/ukf.rs:54-74): UT of hx(sigma_f), cross-cov,
     equilibrated-Cholesky gain, symmetrized covariance. ``z``: list o of
     (B,); ``r``: (o, o) scalars."""
@@ -279,7 +290,7 @@ def soa_update(params, state: SoaUkfState, z, hx: Callable, r,
           for c_ in hx(tuple(state.sigma_f))]
     rrows = [[r[i][j] for j in range(o)] for i in range(o)]
     zp, (dh, eh, sdh), pz = _ut_soa(wm1, wc1, sum_wc, hm, rrows, n, o,
-                                    mode=mode)
+                                    mode=mode, unroll_sum=unroll_sum)
     # cross-covariance in the same shifted (wc0-free) form:
     # Pxz = Σ_{k≥1} wc1 df dhᵀ − sdf ehᵀ − ef sdhᵀ + (Σwc) ef ehᵀ
     s0f = [state.sigma_f[i][0] for i in range(n)]

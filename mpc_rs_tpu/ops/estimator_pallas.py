@@ -143,8 +143,10 @@ def make_estimator_chain(
                     hz[j] + sig_np[j] * in_ref[nz0 + i * o + j, 0]
                     for j in range(o)
                 )
-                soa = soa_predict(params, soa, u, fx_c, q_np, mode=soa_mode)
-                soa = soa_update(params, soa, z, hx_c, r_np, mode=soa_mode)
+                soa = soa_predict(params, soa, u, fx_c, q_np, mode=soa_mode,
+                                  unroll_sum=True)
+                soa = soa_update(params, soa, z, hx_c, r_np, mode=soa_mode,
+                                 unroll_sum=True)
                 if p_reset_np is not None:
                     soa = soa_guard(soa, p_reset_np, mode="entry")  # no leading-axis reduce in Mosaic
                 return x, soa
