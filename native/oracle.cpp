@@ -721,7 +721,7 @@ void oracle_tracking_grad_fd(const double* x0, const double* u, int n, double* g
   // state pre-stepped once by u[i] — not from x itself.
   constexpr double kEps = 1e-3;  // :133
   if (n > 64) {
-    for (int i = 0; i < (n > 0 ? n : 0) && i < 64; ++i) grad[i] = NAN;
+    for (int i = 0; i < n; ++i) grad[i] = NAN;  // caller allocated n entries
     return;
   }
   double up[64];

@@ -5,7 +5,9 @@ acceptance horizon (flagship6: 3 s incl. the 2 N pulse at 100 Hz;
 cartpole4: 5 s at 20 Hz), estimator in the loop, over N seeds. Prints one
 JSON line per combination and a summary table.
 
-The committed artifact is GATES.json at the repo root (logs/ is gitignored
+The committed artifact is GATES.json at the repo root; in-progress runs
+snapshot to GATES.json.partial (gitignored) and only a COMPLETE run
+atomically replaces GATES.json (logs/ is gitignored
 and does not survive between rounds). It is written incrementally after
 every case so a crash loses at most one case, and a run with fewer seeds
 than the committed evidence refuses to overwrite it (pass --force to
