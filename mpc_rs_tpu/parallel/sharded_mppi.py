@@ -28,9 +28,14 @@ from mpc_rs_tpu.ops.mppi_pallas import (
 )
 
 
-def _jnp_partials(cfg: MppiConfig, dynamics, cost, key, x, u_n, k_local: int) -> MppiPartials:
-    """Reference-path partials (vmap+scan) for CPU meshes / parity tests."""
-    eps = cfg.std_dev * jax.random.normal(key, (k_local, cfg.n_horizon), dtype=u_n.dtype)
+def _jnp_partials(cfg: MppiConfig, dynamics, cost, key, x, u_n, k_local: int,
+                  eps=None) -> MppiPartials:
+    """Reference-path partials (vmap+scan) for CPU meshes / parity tests.
+    ``eps``: optional externally supplied (k_local, N) perturbations
+    (already scaled) — the matched-noise seam for oracle cross-validation
+    of the sharded tier (see controllers.mppi.mppi_solve ``noise``)."""
+    if eps is None:
+        eps = cfg.std_dev * jax.random.normal(key, (k_local, cfg.n_horizon), dtype=u_n.dtype)
     v = jnp.clip(u_n + eps, cfg.limit[0], cfg.limit[1])
     s_k = rollout_scores(dynamics, cost, tuple(x), v, u_n, cfg.std_dev, cfg.control_inv)
     finite = jnp.isfinite(s_k)
@@ -51,6 +56,7 @@ def make_sharded_mppi(
     backend: str = "pallas",
     block_sublanes: int | None = None,
     interpret: bool = False,
+    external_noise: bool = False,
 ):
     """Returns jitted ``solve(seed_or_key, x, u_n) -> (u_n', status)``.
 
@@ -62,6 +68,8 @@ def make_sharded_mppi(
     n_dev = mesh.shape[axis]
     if cfg.n_rollouts % n_dev:
         raise ValueError(f"K={cfg.n_rollouts} not divisible by {n_dev} devices")
+    if external_noise and backend != "jnp":
+        raise ValueError("external_noise is a jnp-backend (parity) feature")
     k_local = cfg.n_rollouts // n_dev
 
     def merge(parts: MppiPartials) -> MppiPartials:
@@ -89,15 +97,26 @@ def make_sharded_mppi(
 
         in_specs = (P(), P(), P())
     elif backend == "jnp":
+        if external_noise:
+            # first solve() argument becomes the (K, N) noise matrix,
+            # sharded over the rollouts axis — each device sees its
+            # k_local rows. Matched-noise cross-validation of the WHOLE
+            # sharded tier (partials + pmax/psum log-sum-exp merge).
+            def shard_fn(eps, x, u_n):
+                parts = _jnp_partials(cfg, dynamics, cost, None, x, u_n,
+                                      k_local, eps=eps)
+                return merge(parts)
 
-        def shard_fn(key, x, u_n):
-            my = jax.lax.axis_index(axis)
-            parts = _jnp_partials(
-                cfg, dynamics, cost, jax.random.fold_in(key, my), x, u_n, k_local
-            )
-            return merge(parts)
+            in_specs = (P(axis, None), P(), P())
+        else:
+            def shard_fn(key, x, u_n):
+                my = jax.lax.axis_index(axis)
+                parts = _jnp_partials(
+                    cfg, dynamics, cost, jax.random.fold_in(key, my), x, u_n, k_local
+                )
+                return merge(parts)
 
-        in_specs = (P(), P(), P())
+            in_specs = (P(), P(), P())
     else:
         raise ValueError(backend)
 
