@@ -260,7 +260,12 @@ def build_qp_fleet(scenarios: int, *, seed: int = 0, max_iter: int = 60,
         def solve_batch(x, u_n):
             x_ref = jax.vmap(lambda xi: gen_ref(xi).reshape(-1))(x)
             b = qp_linear_term(qp, x, x_ref)
-            return box_qp_newton(qp.h, b, u_n, -lim, lim, iters=12, inv_table=inv_tbl)
+            # safeguard off: this fleet's condensed-QP instances are
+            # KKT-exactness- and enumerator-verified without it
+            # (tests/test_panoc.py, tests/test_native_oracle.py); skipping
+            # the extra phases keeps the gate-validated tick cost
+            return box_qp_newton(qp.h, b, u_n, -lim, lim, iters=12,
+                                 inv_table=inv_tbl, safeguard=False)
     else:
         vg_factory = make_qp_value_and_grad(qp, gen_ref)
         cfg = PanocConfig(tol=1e-5, max_iter=max_iter, lbfgs_mem=10)

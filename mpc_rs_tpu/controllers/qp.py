@@ -129,7 +129,8 @@ def active_set_inverse_table(h) -> jnp.ndarray:
     return jnp.asarray(tbl, jnp.asarray(h).dtype)
 
 
-def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16, inv_table=None):
+def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16, inv_table=None,
+                  safeguard: bool = True, safeguard_iters: int = 8):
     """Batched projected-Newton solver for  min uᵀHu + bᵀu,  lo ≤ u ≤ hi.
 
     TPU-first replacement for the vmapped PANOC loop in fleet workloads:
@@ -144,6 +145,22 @@ def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16, inv_table=None):
     ``iters`` (static shape, scan-able, vmappable) reaches machine-precision
     stationarity for horizons this size (N ≤ 50). The best-cost iterate is
     returned, making the fixed-budget loop monotone even mid-settling.
+
+    ``safeguard``: the clipped full Newton step can ACTIVE-SET-CYCLE on
+    ill-conditioned problems with asymmetric bounds, sticking far from the
+    optimum regardless of iters (found by the random-QP property test vs
+    the exact enumerator: cost −47.5 vs optimum −68.1 at cond ≈ 1.6e3).
+    With ``safeguard=True`` (default) the Newton phase is followed by a
+    projected-gradient-arc phase (Cauchy-scaled backtracking steps — each
+    strictly decreases from a non-stationary point, so it escapes the
+    cycle) and a second Newton phase to land exactly on the identified
+    set. At a point that is already the KKT optimum both extra phases are
+    no-ops (every candidate is clipped back to the same point), so the
+    production answer is unchanged — the gate-validated fleet/latency hot
+    paths pass ``safeguard=False`` to skip the extra ~1.5x iterations
+    their instances were proven not to need (KKT-exactness tests +
+    3^N-enumerator cross-validation, tests/test_panoc.py and
+    tests/test_native_oracle.py).
 
     ``h`` is the (N, N) condensed Hessian GᵀQG (shared across the batch);
     ``b``/``u0`` broadcast over leading batch dims. Equivalent solutions to
@@ -172,7 +189,7 @@ def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16, inv_table=None):
 
     bits = jnp.asarray(2 ** np.arange(n), jnp.int32)
 
-    def step(carry, _):
+    def newton_step(carry, _):
         u, best_u, best_j = carry
         g = u @ h2 + b
         act = ((u <= lo + eps) & (g > 0)) | ((u >= hi - eps) & (g < 0))
@@ -191,8 +208,39 @@ def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16, inv_table=None):
         best_j = jnp.minimum(j, best_j)
         return (u, best_u, best_j), None
 
-    (_, best_u, _), _ = jax.lax.scan(step, (u0, u0, cost(u0)), None, length=iters)
-    return best_u
+    def pg_step(carry, _):
+        u, best_u, best_j = carry
+        g = u @ h2 + b
+        # Cauchy step of the unconstrained quadratic along −g, then a
+        # 4-point backtracking sweep on the projection arc; keep-if-better
+        # semantics make the phase monotone from best_u.
+        ghg = jnp.sum(g * (g @ h2), axis=-1)
+        t_star = jnp.sum(g * g, axis=-1) / jnp.maximum(ghg, 1e-30)
+        cands = jnp.stack([
+            jnp.clip(u - (t_star * f)[..., None] * g, lo, hi)
+            for f in (1.0, 0.25, 0.0625, 0.015625)
+        ])
+        js = cost(cands)
+        pick = jnp.argmin(js, axis=0)
+        u_new = jnp.take_along_axis(
+            jnp.moveaxis(cands, 0, -2), pick[..., None, None], axis=-2
+        )[..., 0, :]
+        j_new = jnp.min(js, axis=0)
+        take = j_new < best_j
+        u = jnp.where(take[..., None], u_new, best_u)
+        best_u = u
+        best_j = jnp.minimum(j_new, best_j)
+        return (u, best_u, best_j), None
+
+    carry = (u0, u0, cost(u0))
+    carry, _ = jax.lax.scan(newton_step, carry, None, length=iters)
+    if safeguard:
+        # restart both phases from the Newton phase's best iterate
+        carry = (carry[1], carry[1], carry[2])
+        carry, _ = jax.lax.scan(pg_step, carry, None, length=safeguard_iters)
+        carry = (carry[1], carry[1], carry[2])
+        carry, _ = jax.lax.scan(newton_step, carry, None, length=max(4, iters // 2))
+    return carry[1]
 
 
 def make_qp_value_and_grad(qp: CondensedQp, gen_ref):

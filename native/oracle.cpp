@@ -778,6 +778,75 @@ void oracle_qp_cost_grad(const double* x, const double* u, double* cost_out,
   *cost_out = left + 2.0 * right;
 }
 
+// Exact global solve of  min uᵀHu + bᵀu, lo ≤ u ≤ hi  by brute-force
+// active-set enumeration (3^n candidates, KKT-checked; convex SPD ⇒ the
+// KKT point is the global minimizer). n ≤ 12 (3^12 ≈ 5.3e5 subsolves).
+int box_qp_enumerate(int n, const double* h /*(n,n)*/, const double* bvec,
+                     double lo, double hi, double* u_out) {
+  if (n > 12 || n > kMaxN) return 3;  // kMaxN bounds the dense subsolves
+  double best_cost = INFINITY;
+  bool found = false;
+  double scale = 0.0;
+  for (int i = 0; i < n; ++i) scale = std::max(scale, std::fabs(bvec[i]));
+  for (int i = 0; i < n * n; ++i) scale = std::max(scale, std::fabs(h[i]));
+  const double tol = 1e-9 * (scale + 1.0);
+  long long total = 1;
+  for (int i = 0; i < n; ++i) total *= 3;
+  int assign[kMaxN];
+  for (long long code = 0; code < total; ++code) {
+    long long c = code;
+    int n_free = 0;
+    int free_idx[kMaxN];
+    double u[kMaxN];
+    for (int i = 0; i < n; ++i) {
+      assign[i] = static_cast<int>(c % 3);
+      c /= 3;
+      if (assign[i] == 0) free_idx[n_free++] = i;
+      else u[i] = (assign[i] == 1) ? lo : hi;
+    }
+    if (n_free > 0) {
+      double a_sub[kMaxN * kMaxN], rhs[kMaxN];
+      for (int r = 0; r < n_free; ++r) {
+        const int i = free_idx[r];
+        double acc = bvec[i];
+        for (int j = 0; j < n; ++j)
+          if (assign[j] != 0) acc += 2.0 * h[i * n + j] * u[j];
+        rhs[r] = -acc;
+        for (int cidx = 0; cidx < n_free; ++cidx)
+          a_sub[r * n_free + cidx] = 2.0 * h[i * n + free_idx[cidx]];
+      }
+      double a_inv[kMaxN * kMaxN];
+      if (invert(n_free, a_sub, a_inv)) continue;
+      for (int r = 0; r < n_free; ++r) {
+        double acc = 0.0;
+        for (int cidx = 0; cidx < n_free; ++cidx) acc += a_inv[r * n_free + cidx] * rhs[cidx];
+        u[free_idx[r]] = acc;
+      }
+    }
+    bool ok = true;
+    for (int i = 0; i < n && ok; ++i) {
+      double acc = bvec[i];
+      for (int j = 0; j < n; ++j) acc += 2.0 * h[i * n + j] * u[j];
+      if (assign[i] == 0) ok = (u[i] >= lo - 1e-12 && u[i] <= hi + 1e-12);
+      else if (assign[i] == 1) ok = (acc >= -tol);
+      else ok = (acc <= tol);
+    }
+    if (!ok) continue;
+    double cost = 0.0;
+    for (int i = 0; i < n; ++i) {
+      double hu = 0.0;
+      for (int j = 0; j < n; ++j) hu += h[i * n + j] * u[j];
+      cost += u[i] * hu + bvec[i] * u[i];
+    }
+    if (cost < best_cost) {
+      best_cost = cost;
+      for (int i = 0; i < n; ++i) u_out[i] = u[i];
+      found = true;
+    }
+  }
+  return found ? 0 : 1;
+}
+
 // Exact global box-QP solve of the op-mpc-x-calc condensed problem at
 // state x: min over lo ≤ u ≤ hi of uᵀHu + bᵀu with H = GᵀQG and
 // b = 2GᵀQ(Fx − xref), by brute-force active-set enumeration (3^N
@@ -791,12 +860,12 @@ int oracle_qp_solve_box(const double* x, double lo, double hi, double* u_out) {
   build_fgq(f, g, qd);
   double xref[S * N];
   gen_ref(x, xref);
-  double h[N][N];  // GᵀQG
+  double h[N * N];  // GᵀQG
   for (int i = 0; i < N; ++i)
     for (int j = 0; j < N; ++j) {
       double acc = 0.0;
       for (int t = 0; t < S * N; ++t) acc += g[t][i] * qd[t] * g[t][j];
-      h[i][j] = acc;
+      h[i * N + j] = acc;
     }
   double bvec[N];  // 2GᵀQ(Fx − xref)
   for (int j = 0; j < N; ++j) {
@@ -808,71 +877,15 @@ int oracle_qp_solve_box(const double* x, double lo, double hi, double* u_out) {
     }
     bvec[j] = 2.0 * acc;
   }
-  double best_cost = INFINITY;
-  bool found = false;
-  double scale = 0.0;
-  for (int i = 0; i < N; ++i) scale = std::max(scale, std::fabs(bvec[i]));
-  for (int i = 0; i < N; ++i)
-    for (int j = 0; j < N; ++j) scale = std::max(scale, std::fabs(h[i][j]));
-  const double tol = 1e-9 * (scale + 1.0);
-  int assign[N];  // 0 = free, 1 = at lo, 2 = at hi
-  const long long total = 6561;  // 3^8
-  for (long long code = 0; code < total; ++code) {
-    long long c = code;
-    int n_free = 0;
-    int free_idx[N];
-    double u[N];
-    for (int i = 0; i < N; ++i) {
-      assign[i] = static_cast<int>(c % 3);
-      c /= 3;
-      if (assign[i] == 0) free_idx[n_free++] = i;
-      else u[i] = (assign[i] == 1) ? lo : hi;
-    }
-    // solve (2H)_FF u_F = −(b_F + 2 H_FA u_A)
-    if (n_free > 0) {
-      double a_sub[kMaxN * kMaxN], rhs[kMaxN];
-      for (int r = 0; r < n_free; ++r) {
-        const int i = free_idx[r];
-        double acc = bvec[i];
-        for (int j = 0; j < N; ++j)
-          if (assign[j] != 0) acc += 2.0 * h[i][j] * u[j];
-        rhs[r] = -acc;
-        for (int cidx = 0; cidx < n_free; ++cidx)
-          a_sub[r * n_free + cidx] = 2.0 * h[i][free_idx[cidx]];
-      }
-      double a_inv[kMaxN * kMaxN];
-      if (invert(n_free, a_sub, a_inv)) continue;
-      for (int r = 0; r < n_free; ++r) {
-        double acc = 0.0;
-        for (int cidx = 0; cidx < n_free; ++cidx) acc += a_inv[r * n_free + cidx] * rhs[cidx];
-        u[free_idx[r]] = acc;
-      }
-    }
-    // KKT feasibility: free vars in box; active-at-lo grad ≥ 0, at-hi ≤ 0
-    bool ok = true;
-    double grad[N];
-    for (int i = 0; i < N && ok; ++i) {
-      double acc = bvec[i];
-      for (int j = 0; j < N; ++j) acc += 2.0 * h[i][j] * u[j];
-      grad[i] = acc;
-      if (assign[i] == 0) ok = (u[i] >= lo - 1e-12 && u[i] <= hi + 1e-12);
-      else if (assign[i] == 1) ok = (grad[i] >= -tol);
-      else ok = (grad[i] <= tol);
-    }
-    if (!ok) continue;
-    double cost = 0.0;
-    for (int i = 0; i < N; ++i) {
-      double hu = 0.0;
-      for (int j = 0; j < N; ++j) hu += h[i][j] * u[j];
-      cost += u[i] * hu + bvec[i] * u[i];
-    }
-    if (cost < best_cost) {
-      best_cost = cost;
-      for (int i = 0; i < N; ++i) u_out[i] = u[i];
-      found = true;
-    }
-  }
-  return found ? 0 : 1;
+  return box_qp_enumerate(N, h, bvec, lo, hi, u_out);
+}
+
+// Generic exact box-QP solve: caller-supplied H (n,n row-major) and b —
+// the property-test seam for validating box_qp_newton / panoc_solve on
+// arbitrary random SPD problems, not just the op-mpc-x-calc instance.
+int oracle_box_qp_solve_generic(int n, const double* h, const double* b,
+                                double lo, double hi, double* u_out) {
+  return box_qp_enumerate(n, h, b, lo, hi, u_out);
 }
 
 // UKF update — src/ukf2.rs:54-74 (gain via Pz^-1, covariance
