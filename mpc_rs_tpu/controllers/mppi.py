@@ -107,6 +107,11 @@ def mppi_solve(
         eps = cfg.std_dev * jax.random.normal(key, (k, n), dtype=dtype)
     else:
         eps = jnp.asarray(noise, dtype)
+        if eps.shape != (k, n):
+            raise ValueError(
+                f"noise must have shape (n_rollouts, n_horizon) = ({k}, {n}), "
+                f"got {eps.shape}; it must also already be scaled by std_dev"
+            )
     v = jnp.clip(u_n + eps, cfg.limit[0], cfg.limit[1])  # src/mppi.rs:39-45
 
     s_k = rollout_scores(dynamics, cost, x, v, u_n, cfg.std_dev, cfg.control_inv)

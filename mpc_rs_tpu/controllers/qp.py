@@ -151,10 +151,12 @@ def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16, inv_table=None,
     optimum regardless of iters (found by the random-QP property test vs
     the exact enumerator: cost −47.5 vs optimum −68.1 at cond ≈ 1.6e3).
     With ``safeguard=True`` (default) the Newton phase is followed by a
-    projected-gradient-arc phase (Cauchy-scaled backtracking steps — each
-    strictly decreases from a non-stationary point, so it escapes the
-    cycle) and a second Newton phase to land exactly on the identified
-    set. At a point that is already the KKT optimum both extra phases are
+    projected-gradient-arc phase (Cauchy-scaled backtracking steps; the
+    8-point factor-4 sweep reaches below the 1/L Lipschitz step for
+    cond(H) ≤ ~1.6e4, where a projected-gradient step provably decreases
+    from a non-stationary point — so within that range it escapes the
+    cycle, and beyond it it still never increases the cost) and a second
+    Newton phase to land exactly on the identified set. At a point that is already the KKT optimum both extra phases are
     no-ops (every candidate is clipped back to the same point), so the
     production answer is unchanged — the gate-validated fleet/latency hot
     paths pass ``safeguard=False`` to skip the extra ~1.5x iterations
@@ -211,14 +213,21 @@ def box_qp_newton(h, b, u0, lo, hi, *, iters: int = 16, inv_table=None,
     def pg_step(carry, _):
         u, best_u, best_j = carry
         g = u @ h2 + b
-        # Cauchy step of the unconstrained quadratic along −g, then a
-        # 4-point backtracking sweep on the projection arc; keep-if-better
-        # semantics make the phase monotone from best_u.
+        # Cauchy step of the unconstrained quadratic along −g, then an
+        # 8-point backtracking sweep on the projection arc (factors 4⁰…4⁻⁷,
+        # smallest ≈ t*/16384 ≲ 1/λ_max for cond(H) up to ~1e4 — below the
+        # 1/L Lipschitz step, where a projected-gradient step is guaranteed
+        # to decrease from a non-stationary point); keep-if-better semantics
+        # make the phase monotone from best_u. For conditioning beyond that
+        # range the phase may make no progress in one call (it never makes
+        # things worse) — the property test pins cond ≤ 1e4
+        # (tests/test_native_oracle.py).
         ghg = jnp.sum(g * (g @ h2), axis=-1)
         t_star = jnp.sum(g * g, axis=-1) / jnp.maximum(ghg, 1e-30)
         cands = jnp.stack([
             jnp.clip(u - (t_star * f)[..., None] * g, lo, hi)
-            for f in (1.0, 0.25, 0.0625, 0.015625)
+            for f in (1.0, 0.25, 0.0625, 0.015625,
+                      0.00390625, 0.0009765625, 0.000244140625, 6.103515625e-05)
         ])
         js = cost(cands)
         pick = jnp.argmin(js, axis=0)
