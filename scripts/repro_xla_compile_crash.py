@@ -1,0 +1,94 @@
+"""Minimal repro for the positional XLA-CPU crash seen in full pytest runs.
+
+Hypothesis (VERDICT r4 Weak #1): hundreds of distinct XLA CPU executables
+accumulated in ONE process — under x64 + ``--xla_force_host_platform_device_count=8``
+— eventually SIGSEGV/SIGABRT inside ``backend_compile_and_load``. Every
+pytest subset passes in isolation; only the long-lived process dies.
+
+This script jit-compiles N distinct functions (constants baked in to defeat
+the executable cache) of a few representative shapes (scan rollouts,
+eigh-based UKF steps, shard_map log-sum-exp merges) and prints a heartbeat
+every 25 compiles. If it dies before the target count with no Python
+traceback, the crash is reproduced independently of the test suite.
+
+RESULT in this image (jax/jaxlib 0.9.0, 2026-08-20): 600 distinct
+executables (200 scan + 200 eigh + 200 shard_map) compile and run WITHOUT
+crashing — raw compile count alone is NOT the trigger. The full
+``pytest tests/`` process still dies deterministically (SIGSEGV/SIGABRT in
+``backend_compile_and_load``) at ~65-84% through the suite, and every
+per-file subset passes, so the trigger is some state accumulated only by
+the real suite (suspects: ctypes-loaded liboracle/libmpcio, the Gloo
+subprocess test, pallas interpret-mode executables). The committed
+mitigation is process sharding at file granularity
+(``scripts/run_tests.py`` — green: TESTS_r05.json).
+
+Usage: python scripts/repro_xla_compile_crash.py [n_compiles] [--no-shard]
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    use_shard = "--no-shard" not in sys.argv
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    done = 0
+    for i in range(n_target):
+        c = 1.0 + 0.001 * i  # distinct constant -> distinct executable
+
+        kind = i % 3
+        if kind == 0:
+            def f(x, c=c):
+                def body(carry, _):
+                    return carry * jnp.tanh(carry * c) + c, None
+                y, _ = jax.lax.scan(body, x, None, length=8)
+                return jnp.sum(y)
+            arg = jnp.ones((128, 4))
+        elif kind == 1:
+            def f(x, c=c):
+                p = x @ x.T + c * jnp.eye(x.shape[0], dtype=x.dtype)
+                w, v = jnp.linalg.eigh(p)
+                return v @ (jnp.sqrt(jnp.abs(w))[:, None] * v.T)
+            arg = jnp.asarray(np.random.default_rng(i).standard_normal((6, 6)))
+        elif use_shard:
+            def f(x, c=c):
+                def shard_fn(xs):
+                    m = jnp.max(xs)
+                    gm = jax.lax.pmax(m, "d")
+                    w = jnp.exp((xs - gm) * c)
+                    return jax.lax.psum(jnp.sum(w), "d") + 0 * xs
+                return shard_map(shard_fn, mesh=mesh, in_specs=P("d"),
+                                 out_specs=P("d"))(x)
+            arg = jnp.ones((64,))
+        else:
+            def f(x, c=c):
+                return jnp.sum(jnp.sin(x * c))
+            arg = jnp.ones((64,))
+
+        jax.jit(f)(arg).block_until_ready()
+        done += 1
+        if done % 25 == 0:
+            print(f"compiled {done}/{n_target}", flush=True)
+    print(f"OK: {done} distinct executables compiled without crashing")
+
+
+if __name__ == "__main__":
+    main()
