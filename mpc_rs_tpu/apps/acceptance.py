@@ -101,6 +101,95 @@ def chk_est_finite(ret, out):
     return _finite(ret.x) and _finite(ret.p)
 
 
+# ---- quantitative estimator-ladder checks (VERDICT r4 Next #4) ------------
+# The reference's de-facto check is act-vs-est convergence printed per step
+# (examples/ukf-pen2.rs:87-103). These predicates make it machine-checked:
+# est-vs-truth RMSE over the settled half of the episode, bounded by the
+# injected observation noise (and, where the filter robustly beats the raw
+# observations on the 20 acceptance seeds, strictly tighter than the
+# channel-inverted observations — "the filter earns its keep").
+# Margins calibrated over seeds 0-39 (scripts history, r5); the injected
+# noise std equals the R diagonal VALUES faithful to the reference (i.e.
+# the filter under-states the noise variance — ukf-pen2.rs:56-64).
+
+def _settled_rmse(a, b, lo=50):
+    import numpy as np
+
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean(d[lo:] ** 2)))
+
+
+def _enc_k():
+    import math
+
+    from mpc_rs_tpu.models.params import CartPoleParams
+
+    return 60.0 / (2.0 * math.pi * CartPoleParams.single_wheel().r_w)
+
+
+def chk_ukf_one(ret, out):
+    # scalar UKF, σ_obs = 1: settled est RMSE must beat the raw obs and
+    # stay within σ_obs (steady-state KF √P ≈ 0.79; measured max 0.79)
+    e = _settled_rmse(ret.est[:, 0], ret.act[:, 0])
+    o = _settled_rmse(ret.obs[:, 0], ret.act[:, 0])
+    return chk_est_finite(ret, out) and e < o and e <= 1.0
+
+
+def chk_ukf_two(ret, out):
+    # x0 obs noise std 2 (R=2, understated): x0 tracked within the obs
+    # band; x1 only observable through the x1⁴ drift term — empirical band
+    # (measured max 3.54 over the acceptance seeds)
+    e0 = _settled_rmse(ret.est[:, 0], ret.act[:, 0])
+    o0 = _settled_rmse(ret.obs[:, 0], ret.act[:, 0])
+    e1 = _settled_rmse(ret.est[:, 1], ret.act[:, 1])
+    return chk_est_finite(ret, out) and e0 <= 1.2 * o0 and e0 <= 4.0 and e1 <= 5.0
+
+
+def chk_ukf_pen(ret, out):
+    # obs = [dx, dθ] + noise std 0.5: the filter beats the raw channels on
+    # every acceptance seed (measured e ≤ 0.49/0.51 vs o ≥ 0.51/0.57)
+    e_dx = _settled_rmse(ret.est[:, 1], ret.act[:, 1])
+    o_dx = _settled_rmse(ret.obs[:, 0], ret.act[:, 1])
+    e_th = _settled_rmse(ret.est[:, 3], ret.act[:, 3])
+    o_th = _settled_rmse(ret.obs[:, 1], ret.act[:, 3])
+    return (chk_est_finite(ret, out) and e_dx < o_dx and e_th < o_th
+            and e_dx <= 0.75 and e_th <= 0.75)
+
+
+def chk_ukf_pen2(ret, out):
+    # obs = [rpm, rpm, deg/s] + noise std [100, 100, 0.5]: gyro-grade dθ
+    # tracking (≤1.15× the inverted gyro, ≤0.015 rad/s) and dx within the
+    # encoder-inversion band (avg-encoder noise ≈ 0.37 m/s; R understates
+    # the injected variance 100× so some seeds trail the inversion —
+    # measured max e_dx 0.86, ratio ≤ 2.6)
+    import numpy as np
+
+    k = _enc_k()
+    dx_o = 0.5 * (ret.obs[:, 0] + ret.obs[:, 1]) / k
+    th_o = ret.obs[:, 2] * np.pi / 180.0
+    e_dx = _settled_rmse(ret.est[:, 1], ret.act[:, 1])
+    o_dx = _settled_rmse(dx_o, ret.act[:, 1])
+    e_th = _settled_rmse(ret.est[:, 3], ret.act[:, 3])
+    o_th = _settled_rmse(th_o, ret.act[:, 3])
+    return (chk_est_finite(ret, out) and e_th <= 1.15 * o_th and e_th <= 0.015
+            and e_dx <= 3.0 * o_dx and e_dx <= 1.2)
+
+
+def chk_ukf_pen3(ret, out):
+    # 6-state force-IMU variant: dx earns its keep vs the encoder
+    # inversion (measured ratio ≤ 1.24, e_dx ≤ 0.45); dθ is lag-limited by
+    # the θ̈-only Q (ukf-pen3.rs:18-25) — absolute band 0.05 rad/s
+    import numpy as np
+
+    k = _enc_k()
+    dx_o = 0.5 * (ret.obs[:, 0] + ret.obs[:, 1]) / k
+    e_dx = _settled_rmse(ret.est[:, 1], ret.act[:, 1])
+    o_dx = _settled_rmse(dx_o, ret.act[:, 1])
+    e_th = _settled_rmse(ret.est[:, 4], ret.act[:, 4])
+    return (chk_est_finite(ret, out) and e_dx <= 1.3 * o_dx and e_dx <= 0.6
+            and e_th <= 0.05)
+
+
 def chk_packets(n_min):
     def chk(ret, out):
         return int(ret) >= n_min
@@ -182,11 +271,18 @@ SPECS = {
     "pid": ("pid", [], chk_pid_tips, "tips at 60° by design (under-gained reference baseline)"),
     "one-liner-kf": ("one-liner-kf", [], chk_kf1d, "recovers from wrong prior to truth ±3"),
     "two-liner-kf": ("two-liner-kf", [], chk_kf2d, "variance contracts, estimate finite"),
-    "ukf-one": ("ukf-one", [], chk_est_finite, "estimate finite"),
-    "ukf-two": ("ukf-two", [], chk_est_finite, "estimate finite"),
-    "ukf-pen": ("ukf-pen", [], chk_est_finite, "estimate finite"),
-    "ukf-pen2": ("ukf-pen2", [], chk_est_finite, "estimate finite"),
-    "ukf-pen3": ("ukf-pen3", [], chk_est_finite, "estimate finite (f32-stable UT)"),
+    "ukf-one": ("ukf-one", [], chk_ukf_one,
+                "settled est RMSE < raw-obs RMSE and ≤ σ_obs=1"),
+    "ukf-two": ("ukf-two", [], chk_ukf_two,
+                "x0 within 1.2× obs band (σ=2); x1 quartic-channel band ≤5"),
+    "ukf-pen": ("ukf-pen", [], chk_ukf_pen,
+                "est beats raw [dx, dθ] obs (σ=0.5) on both channels"),
+    "ukf-pen2": ("ukf-pen2", [], chk_ukf_pen2,
+                 "gyro-grade dθ (≤1.15× inverted gyro, ≤0.015 rad/s); dx within "
+                 "encoder-inversion band"),
+    "ukf-pen3": ("ukf-pen3", [], chk_ukf_pen3,
+                 "dx beats encoder inversion (≤1.3×); dθ ≤0.05 rad/s "
+                 "(θ̈-only Q lag; f32-stable UT)"),
     "uart": ("uart", ["--sim-mcu"], chk_packets(1), "COBS echo roundtrip via PTY"),
     "mppi4-commu": ("mppi4-commu", ["--sim-mcu", "--k", "16384", "--t-end", "3"],
                     chk_packets(100), "≥100 packets closed-loop vs fake MCU"),

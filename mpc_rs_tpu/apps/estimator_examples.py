@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,19 @@ from mpc_rs_tpu.models import dynamics, observation
 from mpc_rs_tpu.models.params import CartPoleParams
 from mpc_rs_tpu.runtime.logger import CsvLogger
 from mpc_rs_tpu.utils import as_vector_fn
+
+
+class EstRun(NamedTuple):
+    """Estimator-example result: final filter state plus the full episode
+    history, so acceptance can check est-vs-truth RMSE quantitatively
+    (the reference's de-facto check is act-vs-est convergence printed per
+    step — examples/ukf-pen2.rs:87-103; VERDICT r4 Next #4)."""
+
+    x: np.ndarray    # final estimate
+    p: np.ndarray    # final covariance
+    act: np.ndarray  # (T, n) truth trajectory
+    est: np.ndarray  # (T, n) estimates (post-update)
+    obs: np.ndarray  # (T, m) noisy observations
 
 
 def one_liner_kf(args):
@@ -73,19 +87,22 @@ def ukf_one(args):
     hx = lambda x: x
     rng = np.random.default_rng(args.seed)
     x_act = 0.0
+    hist = []
     for _ in range(100):
         u = 0.5
         x_act += u
         state = ukf_predict(params, state, u, fx)
         z = jnp.asarray([x_act + rng.normal() * 1.0])
         state = ukf_update(params, state, z, hx)
+        hist.append(([x_act], np.array(state.x), np.array(z)))
         print(
             f"x_act: {x_act:6.3f} x_obs: {float(z[0]):6.3f} "
             f"x_est: {float(state.x[0]):6.3f} p: {float(state.p[0,0]):6.3f}"
         )
     print("wm:", np.array(params.wm[:3]))
     print("wc:", np.array(params.wc[:3]))
-    return state
+    act, est, obs = (np.array([h[i] for h in hist]) for i in range(3))
+    return EstRun(np.array(state.x), np.array(state.p), act, est, obs)
 
 
 def ukf_two(args):
@@ -103,17 +120,20 @@ def ukf_two(args):
     hx = lambda x: x[..., :1]
     rng = np.random.default_rng(args.seed)
     x_act = np.zeros(2)
+    hist = []
     for _ in range(100):
         u = jnp.asarray([0.5, -0.5])
         x_act = np.array([x_act[0] + x_act[1] ** 4 * dt, x_act[1] + (0.5 - -0.5) * dt])
         state = ukf_predict(params, state, u, fx)
         z = jnp.asarray([x_act[0] + rng.normal() * 2.0])
         state = ukf_update(params, state, z, hx)
+        hist.append((x_act.copy(), np.array(state.x), np.array(z)))
         print(
             f"x_act: ({x_act[0]:7.2f},{x_act[1]:7.2f}) x_obs: {float(z[0]):7.2f}, "
             f"x_est: ({float(state.x[0]):7.2f},{float(state.x[1]):7.2f})"
         )
-    return state
+    act, est, obs = (np.array([h[i] for h in hist]) for i in range(3))
+    return EstRun(np.array(state.x), np.array(state.p), act, est, obs)
 
 
 def _run_ukf_pen(args, p, q, r_diag, hx, n_state=4, j2_tag=""):
@@ -127,18 +147,21 @@ def _run_ukf_pen(args, p, q, r_diag, hx, n_state=4, j2_tag=""):
     )
     rng = np.random.default_rng(args.seed)
     x_act = np.zeros(n_state)
+    hist = []
     for i in range(100):
         u = 0.1
         x_act = np.array(fx(jnp.asarray(x_act), u))
         state = ukf_predict(params, state, u, fx)
         zv = np.array(hx(jnp.asarray(x_act))) + rng.normal(size=len(r_diag)) * np.asarray(r_diag)
         state = ukf_update(params, state, jnp.asarray(zv), hx)
+        hist.append((x_act.copy(), np.array(state.x), zv.copy()))
         print(
             f"t: {i*dt:4.2f} x_act: {np.round(x_act[:4], 2)} "
             f"x_est: {np.round(np.array(state.x[:4]), 2)} "
             f"p: {np.round(np.diag(np.array(state.p))[:4], 2)}"
         )
-    return state
+    act, est, obs = (np.array([h[i] for h in hist]) for i in range(3))
+    return EstRun(np.array(state.x), np.array(state.p), act, est, obs)
 
 
 def ukf_pen(args):

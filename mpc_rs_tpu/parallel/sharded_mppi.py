@@ -68,8 +68,6 @@ def make_sharded_mppi(
     n_dev = mesh.shape[axis]
     if cfg.n_rollouts % n_dev:
         raise ValueError(f"K={cfg.n_rollouts} not divisible by {n_dev} devices")
-    if external_noise and backend != "jnp":
-        raise ValueError("external_noise is a jnp-backend (parity) feature")
     k_local = cfg.n_rollouts // n_dev
 
     def merge(parts: MppiPartials) -> MppiPartials:
@@ -82,20 +80,45 @@ def make_sharded_mppi(
         )
 
     if backend == "pallas":
+        if external_noise:
+            # first solve() argument becomes pre-generated eps laid out per
+            # the kernel's linearization contract — GLOBAL shape
+            # (n_dev · num_blocks_local, N, bs, 128), sharded block-major
+            # over the rollouts axis so device d sees blocks
+            # [d·num_blocks_local, (d+1)·num_blocks_local): concatenating
+            # the per-device linearizations in device order reproduces the
+            # global K order. Matched-noise seam for exact cross-validation
+            # of the WHOLE pallas tier (kernel partials + collective merge)
+            # against single-device solves (VERDICT r4 Next #6).
+            from mpc_rs_tpu.ops.mppi_pallas import (_LANES,
+                                                    _default_block_sublanes)
 
-        def shard_fn(seed, x, u_n):
-            my = jax.lax.axis_index(axis)
-            parts = mppi_pallas_partials(
-                cfg, dynamics, cost, n_state,
-                seed[0] + my * jnp.int32(7919),
-                x, u_n,
-                n_rollouts=k_local,
-                block_sublanes=block_sublanes,
-                interpret=interpret,
-            )
-            return merge(parts)
+            bs = block_sublanes or _default_block_sublanes(k_local, "box-muller")
+            assert k_local % (bs * _LANES) == 0, (k_local, bs)
 
-        in_specs = (P(), P(), P())
+            def shard_fn(eps, x, u_n):
+                parts = mppi_pallas_partials(
+                    cfg, dynamics, cost, n_state, jnp.int32(0), x, u_n,
+                    n_rollouts=k_local, block_sublanes=bs,
+                    interpret=interpret, noise=eps,
+                )
+                return merge(parts)
+
+            in_specs = (P(axis, None, None, None), P(), P())
+        else:
+            def shard_fn(seed, x, u_n):
+                my = jax.lax.axis_index(axis)
+                parts = mppi_pallas_partials(
+                    cfg, dynamics, cost, n_state,
+                    seed[0] + my * jnp.int32(7919),
+                    x, u_n,
+                    n_rollouts=k_local,
+                    block_sublanes=block_sublanes,
+                    interpret=interpret,
+                )
+                return merge(parts)
+
+            in_specs = (P(), P(), P())
     elif backend == "jnp":
         if external_noise:
             # first solve() argument becomes the (K, N) noise matrix,
@@ -126,7 +149,7 @@ def make_sharded_mppi(
 
     @jax.jit
     def solve(seed_or_key, x, u_n):
-        if backend == "pallas":
+        if backend == "pallas" and not external_noise:
             seed_or_key = jnp.asarray(seed_or_key, jnp.int32).reshape(1)
         parts = sharded(seed_or_key, x, u_n)
         # partials are replicated after the collectives; take them as-is
