@@ -234,12 +234,21 @@ def mppi4_non_liner_ukf(args):
         x4 = np.array([xh[0], xh[1], xh[3], xh[4]])
         if abs(x4[2]) > PI_2:
             return u_n, jnp.int32(0)
-        out = solve(int(jax.random.randint(key, (), 0, 2**31 - 1)), x4, u_n)
+        with host_device():
+            # eager seed draw on the host: on the tunneled chip an eager
+            # randint would pay a full dispatch RTT per control tick
+            seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        out = solve(seed, x4, u_n)
+        # read the new sequence back to HOST numpy once per solve: the loop
+        # then indexes/floats it for free (plant/estimator/skip-publish),
+        # instead of paying a tunneled device round trip per u_n[0] access;
+        # the next solve ships it back in its one dispatch
+        u_host = np.asarray(out[0])
         if getattr(args, "console", False):
             from mpc_rs_tpu.runtime.console import print_con
 
-            print_con(_t(), float(out[0][0]), x4)
-        return out
+            print_con(_t(), float(u_host[0]), x4)
+        return u_host, int(out[1])
 
     def predictor(xh, u_n):
         xp = np.array(xh)
@@ -261,12 +270,27 @@ def mppi4_non_liner_ukf(args):
     logger = CsvLogger(f"{args.log_dir}/mppi/mppi.csv")
     el = Elapsed()
     def est_update(est, u, z, dte):
-        est = est_step(est, u, jnp.asarray(z, jnp.float32), dte)
+        # the 6-state UKF is a microsecond-scale computation: run it on the
+        # host CPU device so the 9 ms-cadence estimator never pays the
+        # tunneled chip's per-dispatch RTT (the big MPPI solve stays on
+        # the TPU); math and dtypes are identical either way
+        with host_device():
+            est = est_step(est, u, jnp.asarray(z, jnp.float32), dte)
         if getattr(args, "console", False):
             from mpc_rs_tpu.runtime.console import print_rcv
 
             print_rcv(_t(), u, np.array(est.x), z, p_diag=np.diag(np.array(est.p)))
         return est
+
+    # commit the estimator state to the HOST CPU device: ukf_init built it
+    # on the default (possibly tunneled-TPU) device, and committed TPU
+    # inputs would pin est_step's execution there — costing one network
+    # RTT per 9 ms sensor tick. The 6-state UKF is microsecond-scale; only
+    # the big MPPI solve belongs on the chip.
+    from mpc_rs_tpu.apps.common import _cpu_device
+
+    cpu_dev = _cpu_device()
+    est0_host = jax.device_put(ukf0, cpu_dev) if cpu_dev is not None else ukf0
 
     res = run_multirate_loop(
         mr,
@@ -278,7 +302,7 @@ def mppi4_non_liner_ukf(args):
         predictor=predictor,
         x0=np.zeros(6),
         u0=jnp.zeros(n, jnp.float32),
-        est0=ukf0,
+        est0=est0_host,
         key=jax.random.key(args.seed),
         rng=rng,
         logger=logger,

@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve: batched solves kept in flight (0 = synchronous). Each "
                          "level hides one dispatch RTT behind the control period at the "
                          "cost of one period of extra control latency")
+    ap.add_argument("--ticks-per-dispatch", type=int, default=1,
+                    help="serve: stream the first M entries of each returned plan at "
+                         "successive control ticks (plan steps re-discretized to the "
+                         "tick period), dispatching only every M ticks — beats a "
+                         "serialized-dispatch transport ceiling at the cost of entries "
+                         "1..M-1 executing open-loop (M=1 = the reference's "
+                         "freshest-state-wins posture)")
     ap.add_argument("--control-period", type=float, default=None,
                     help="controller period [s] for the multirate loops; 0 = free-running "
                          "(tick every phys step, the reference's unthrottled control thread). "

@@ -184,7 +184,24 @@ def serve(args):
     b_pad = -(-b // 8) * 8  # the batched kernel wants multiples of 8
     p = CartPoleParams.single_wheel()
     t_hor, n = 0.8, 8
-    dt = t_hor / n
+    scale = getattr(args, "time_scale", 1.0) or 1.0
+    period_sim = args.control_period if args.control_period else 0.01
+    m_stream = max(1, int(getattr(args, "ticks_per_dispatch", 1) or 1))
+    if m_stream > 1:
+        # Multi-tick plan streaming (VERDICT r4 #9): one dispatch returns a
+        # PLAN whose steps are re-discretized to the tick period, and the
+        # host streams its first M entries at successive ticks while the
+        # next dispatch rides the tunnel. The dispatch path (serialized at
+        # ~32/s on this tunneled relay — DESIGN §14) now has to carry only
+        # tick_rate/M dispatches: M=2 makes 50 Hz feasible at a 25/s
+        # dispatch rate. Cost: entries j=1..M−1 are open-loop (computed
+        # from a state j ticks stale) — the standard plan-execution trade;
+        # the reference's freshest-state-wins posture is M=1
+        # (examples/mppi4-commu.rs:42-59).
+        dt = period_sim
+        n = int(np.clip(round(t_hor / dt), max(8, m_stream), 40))
+    else:
+        dt = t_hor / n
     k = args.k or 8192
     cfg = MppiConfig(n_horizon=n, n_rollouts=k, lambda_=0.5, std_dev=3.0,
                      limit=(-20.0, 20.0))
@@ -198,9 +215,7 @@ def serve(args):
     u_out, _, _ = solve(seeds0, xs, u_dev)
     np.asarray(u_out)
 
-    scale = getattr(args, "time_scale", 1.0) or 1.0
-    period = args.control_period if args.control_period else 0.01
-    period /= scale
+    period = period_sim / scale
     stale = args.stale_timeout / scale
     # Pipelined dispatch (depth-D double buffering): jax dispatch is async,
     # so D batched solves ride the tunnel concurrently and the host blocks
@@ -222,32 +237,59 @@ def serve(args):
     next_report = t0 + args.report_every
     deadline = t0 + args.t_end / scale
     dispatched = 0
+    last_fresh = np.zeros(b_pad, bool)
 
-    def pop_and_send():
-        nonlocal ticks
-        s0, u0_dev, fr = pending.popleft()
-        u0 = np.asarray(u0_dev)  # blocks until this solve's result lands
-        solve_s.append(time.time() - s0)
+    def dispatch():
+        """Snapshot freshest states and launch one async batched solve."""
+        nonlocal u_dev, dispatched
+        snap_t = time.time()
+        fresh = np.zeros(b_pad, bool)
         for ln in links:
-            i = ln.index
-            ln.send(float(u0[i]) if fr[i] else 0.0)
-        ticks += 1
+            x, last_rx = ln.snapshot()
+            xs[ln.index] = x
+            fresh[ln.index] = last_rx > 0 and (snap_t - last_rx) < stale
+        last_fresh[:] = fresh
+        if not fresh.any():
+            return False
+        seeds = np.int32(args.seed) + np.int32(dispatched) * b_pad + seeds0
+        u_dev, u0_dev, _st = solve(seeds, xs, u_dev)
+        dispatched += 1
+        pending.append(
+            (time.time(), u_dev if m_stream > 1 else u0_dev, fresh.copy()))
+        return True
+
+    def pop_plan():
+        s0, u_plan_dev, fr = pending.popleft()
+        u_plan = np.asarray(u_plan_dev)  # blocks until this solve lands
+        solve_s.append(time.time() - s0)
+        if u_plan.ndim == 1:
+            u_plan = u_plan[:, None]
+        return u_plan, fr
+
+    plan, plan_fresh, plan_j = None, None, m_stream
 
     try:
         while time.time() < deadline:
             tick_t0 = time.time()
-            fresh = np.zeros(b_pad, bool)
-            for ln in links:
-                x, last_rx = ln.snapshot()
-                xs[ln.index] = x
-                fresh[ln.index] = last_rx > 0 and (tick_t0 - last_rx) < stale
-            if fresh.any():
-                seeds = np.int32(args.seed) + np.int32(dispatched) * b_pad + seeds0
-                u_dev, u0_dev, _st = solve(seeds, xs, u_dev)
-                dispatched += 1
-                pending.append((time.time(), u0_dev, fresh.copy()))
-            while len(pending) > depth:
-                pop_and_send()
+            if plan_j >= m_stream or plan is None:
+                # plan exhausted: keep `depth` extra dispatches in flight
+                # beyond the one we are about to consume, then block on the
+                # oldest. (Entries j=1..M−1 of the popped plan are
+                # executed open-loop at the following ticks.)
+                if not pending:
+                    dispatch()
+                while pending and len(pending) <= depth:
+                    if not dispatch():
+                        break
+                if pending:
+                    plan, plan_fresh = pop_plan()
+                    plan_j = 0
+            if plan is not None and plan_j < plan.shape[1]:
+                for ln in links:
+                    i = ln.index
+                    ln.send(float(plan[i, plan_j]) if plan_fresh[i] else 0.0)
+                ticks += 1
+                plan_j += 1
             now = time.time()
             if now >= next_report:
                 next_report += args.report_every
@@ -255,7 +297,8 @@ def serve(args):
                 med = 1e3 * float(np.median(solve_s[-200:])) if solve_s else 0.0
                 print(
                     f"[serve] t={el * scale:6.2f}s ticks/s={ticks / el:7.1f} "
-                    f"active={int(fresh[:b].sum())}/{b} depth={len(pending)} "
+                    f"solves/s={dispatched / el:6.1f} "
+                    f"active={int(last_fresh[:b].sum())}/{b} depth={len(pending)} "
                     f"solve_ms={med:6.2f} "
                     f"rx={sum(ln.n_rx for ln in links)} "
                     f"bad={sum(getattr(ln.port, 'n_bad_frames', 0) for ln in links)}"
@@ -264,7 +307,7 @@ def serve(args):
             if ahead > 0:
                 time.sleep(ahead)
         while pending:
-            pop_and_send()
+            pending.popleft()  # drain without sending past the deadline
     finally:
         for ln in links:
             ln.stop()
@@ -274,6 +317,11 @@ def serve(args):
         "robots": b,
         "ticks": ticks,
         "ticks_per_s": ticks / el,
+        "dispatches": dispatched,
+        "dispatches_per_s": dispatched / el,
+        "ticks_per_dispatch": m_stream,
+        "plan_dt": dt,
+        "horizon": n,
         "robot_solves_per_s": ticks * b / el,
         "rx": [ln.n_rx for ln in links],
         "tx": [ln.n_tx for ln in links],

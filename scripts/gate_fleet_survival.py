@@ -1,9 +1,10 @@
 """Full-scale fleet survival + throughput gates.
 
-For each (model, sampler) combination: B=1024 scenarios, the model's
-acceptance horizon (flagship6: 3 s incl. the 2 N pulse at 100 Hz;
-cartpole4: 5 s at 20 Hz), estimator in the loop, over N seeds. Prints one
-JSON line per combination and a summary table.
+For each (model, sampler) combination: B=1024 scenarios at the
+REFERENCE'S OWN 10 s episode (examples/mppi4.rs:41 — flagship6: 1000
+ticks at 100 Hz incl. the 2 N pulse; cartpole4: 200 ticks at 20 Hz),
+estimator in the loop, over N seeds (VERDICT r4 Next #8 — r4 gated at
+3 s/5 s). Prints one JSON line per combination and a summary table.
 
 The committed artifact is GATES.json at the repo root; in-progress runs
 snapshot to GATES.json.partial (gitignored) and only a COMPLETE run
@@ -38,13 +39,13 @@ REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 OUT = REPO_ROOT / "GATES.json"
 
 CASES = [
-    # (model, sampler, ticks, time_ticks)
-    ("flagship6", "clt4", 300, 800),
-    ("flagship6", "clt4a", 300, 0),
-    ("flagship6", "wallace", 300, 0),
-    ("cartpole4", "clt4", 100, 2000),
-    ("cartpole4", "clt4a", 100, 0),
-    ("cartpole4", "wallace", 100, 0),
+    # (model, sampler, ticks, time_ticks) — ticks = the 10 s reference episode
+    ("flagship6", "clt4", 1000, 800),
+    ("flagship6", "clt4a", 1000, 0),
+    ("flagship6", "wallace", 1000, 0),
+    ("cartpole4", "clt4", 200, 2000),
+    ("cartpole4", "clt4a", 200, 0),
+    ("cartpole4", "wallace", 200, 0),
 ]
 
 
@@ -84,25 +85,30 @@ def main():
     for model, sampler, ticks, time_ticks in CASES:
         surv_all = []
         per_tick = None
+        # build ONCE per (model, sampler); per-seed episodes re-key the
+        # carry exactly as init_scenario_carry(seed) would (the fleets'
+        # x0 are fixed constants), so one compiled tick serves all seeds
+        tick, carry0, dt, theta_idx, guard = build_fleet(
+            model, 0, "pallas", mesh, scenarios=B, seed=0, sampler=sampler,
+        )
+        def make(n, track):
+            @jax.jit
+            def run(c):
+                def body(c, _):
+                    c = tick(c)
+                    return c, (jnp.abs(c.x[:, theta_idx]) if track else 0.0)
+
+                c, th = jax.lax.scan(body, c, jnp.arange(n))
+                return c, (jnp.max(th, axis=0) if track else th)
+
+            return run
+
+        surv_run = make(ticks, True)
         for seed in range(N_SEEDS):
-            tick, carry, dt, theta_idx, guard = build_fleet(
-                model, 0, "pallas", mesh, scenarios=B, seed=seed,
-                sampler=sampler,
-            )
+            carry = carry0._replace(
+                key=jax.random.split(jax.random.key(seed), B))
 
-            def make(n, track):
-                @jax.jit
-                def run(c):
-                    def body(c, _):
-                        c = tick(c)
-                        return c, (jnp.abs(c.x[:, theta_idx]) if track else 0.0)
-
-                    c, th = jax.lax.scan(body, c, jnp.arange(n))
-                    return c, (jnp.max(th, axis=0) if track else th)
-
-                return run
-
-            _, th_max = make(ticks, True)(carry)
+            _, th_max = surv_run(carry)
             th_max = np.array(th_max)
             surv = float((th_max < guard).mean())
             surv_all.append(surv)
