@@ -64,7 +64,7 @@ def main():
     solve = make_batch_solver(cfg, step, costs.shaped4, 4)
     xs = np.tile(np.array([0.5, 0, 0.1, 0], np.float32), (8, 1))
     u = jnp.zeros((8, 8), jnp.float32)
-    u, u0, st = solve(np.arange(8, np.int32), xs, u)
+    u, u0, st = solve(np.arange(8, dtype=np.int32), xs, u)
     np.asarray(u0)
     lats = []
     for i in range(15):

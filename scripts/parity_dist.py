@@ -223,10 +223,15 @@ def run_library_cartpole4(episodes: int) -> list[dict]:
     return out
 
 
-def run_library_flagship(episodes: int, feed_true: bool) -> list[dict]:
+def run_library_flagship(episodes: int, feed_true: bool,
+                         **fleet_overrides) -> list[dict]:
     """Free-running flagship episodes on the PRODUCTION fleet tier
     (apps/fleet.py flagship6 — Pallas kernel + clt4a + SoA UKF on TPU,
-    jnp backend elsewhere), one scenario per episode."""
+    jnp backend elsewhere), one scenario per episode.
+
+    ``fleet_overrides`` forward to build_fleet (sampler=, fast_math=,
+    sqrt_method=, ukf_layout=, backend=) — used to attribute
+    distributional deltas to individual fast tiers."""
     import jax
     import jax.numpy as jnp
 
@@ -234,12 +239,14 @@ def run_library_flagship(episodes: int, feed_true: bool) -> list[dict]:
     from mpc_rs_tpu.parallel.mesh import make_mesh
 
     on_tpu = jax.default_backend() == "tpu"
-    backend = "pallas" if on_tpu else "vmap"
+    backend = fleet_overrides.pop(
+        "backend", "pallas" if on_tpu else "vmap")
     b = max(8, ((episodes + 7) // 8) * 8)
     mesh = make_mesh({"scenario": 1, "rollouts": 1})
     tick, carry, dt, theta_idx, guard = build_fleet(
         "flagship6", K_FLAG, backend, mesh, scenarios=b,
         feed_true_state=feed_true, pallas_interpret=not on_tpu,
+        **fleet_overrides,
     )
 
     chunk = 50

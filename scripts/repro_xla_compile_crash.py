@@ -11,15 +11,17 @@ eigh-based UKF steps, shard_map log-sum-exp merges) and prints a heartbeat
 every 25 compiles. If it dies before the target count with no Python
 traceback, the crash is reproduced independently of the test suite.
 
-RESULT in this image (jax/jaxlib 0.9.0, 2026-08-20): 600 distinct
-executables (200 scan + 200 eigh + 200 shard_map) compile and run WITHOUT
-crashing — raw compile count alone is NOT the trigger. The full
-``pytest tests/`` process still dies deterministically (SIGSEGV/SIGABRT in
-``backend_compile_and_load``) at ~65-84% through the suite, and every
-per-file subset passes, so the trigger is some state accumulated only by
-the real suite (suspects: ctypes-loaded liboracle/libmpcio, the Gloo
-subprocess test, pallas interpret-mode executables). The committed
-mitigation is process sharding at file granularity
+RESULTS in this image (jax/jaxlib 0.9.0, 2026-08-20):
+- 600 distinct executables (200 scan + 200 eigh + 200 shard_map) compile
+  and run WITHOUT crashing — raw compile count alone is NOT the trigger.
+- the same 600-compile loop with ctypes-loaded liboracle.so resident in
+  the process (and one oracle solve executed) ALSO passes — the native
+  .so alone is not the trigger either.
+The full ``pytest tests/`` process still dies deterministically
+(SIGSEGV/SIGABRT in ``backend_compile_and_load``) at ~65-84% through the
+suite, and every per-file subset passes; remaining suspects are pallas
+interpret-mode executables and the specific op mix the suite accumulates.
+The committed mitigation is process sharding at file granularity
 (``scripts/run_tests.py`` — green: TESTS_r05.json).
 
 Usage: python scripts/repro_xla_compile_crash.py [n_compiles] [--no-shard]
