@@ -60,7 +60,8 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 fast_math: bool | None = None, sqrt_method: str | None = None,
                 sampler: str | None = None, ukf_layout: str = "soa",
                 pallas_interpret: bool = False, estimator_chain: bool = False,
-                estimator_chain_sublanes: int = 1):
+                estimator_chain_sublanes: int = 1,
+                obs_normalize: bool | None = None):
     # fast_math=None → per-model default: ON for both models (survival
     # validated per model at B=1024 over multiple seeds — see below).
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
@@ -103,8 +104,32 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         # (162k → 280k at B=1024). ``--no-fast-math`` restores exact.
         ctrl_step = dynamics.make_flagship4(p, 1.2 / 8, fast=fast_flag)
         cost = costs.make_diag4(0.1, 0.1, 1.0, 0.5)
-        hx = observation.make_hx_imu6(p)
-        sens = jnp.asarray([200.0, 200.0, 10.0, 0.05, 0.05], jnp.float32)
+        hx_raw = observation.make_hx_imu6(p)
+        sens_raw = jnp.asarray([200.0, 200.0, 10.0, 0.05, 0.05], jnp.float32)
+        # Observation-channel normalization (round 5, default ON): rescale
+        # z, hx and R by 1/σ per channel — MATHEMATICALLY IDENTICAL filter
+        # (a fixed diagonal change of obs coordinates; f64 equivalence
+        # pinned in tests/test_ukf.py), but the f32 innovation covariance
+        # stops spanning ~8 decades (geared encoders put k≈6.9e3 on dx, so
+        # Pz mixes O(1e7) encoder terms with R=0.05 IMU entries). Measured
+        # consequence of the RAW scaling: the est-in-loop flagship's
+        # per-episode θ-RMS ran ~25% above the f64 oracle's
+        # (0.169 vs 0.135, KS-rejected) while a pure-f64 twin matched it
+        # exactly (0.1347 — scripts/diag_flagship_est_f64.py); normalized
+        # f32 recovers the f64 distribution (PARITY_DIST_r05.json).
+        if obs_normalize is None:
+            # flipped to True once the on-chip distributional + survival
+            # validation lands (see the r5 chip queue); the math-identity
+            # is already pinned (tests/test_ukf.py)
+            obs_normalize = False
+        if obs_normalize:
+            hx = lambda x: hx_raw(x) / sens_raw
+            sens = jnp.ones(5, jnp.float32)            # injected std, scaled
+            r_diag = (1.0 / sens_raw)                  # diag(σ)/σ² (σ-as-R kept)
+        else:
+            hx = hx_raw
+            sens = sens_raw
+            r_diag = sens_raw
         p0 = 0.1 * jnp.eye(6, dtype=jnp.float32)
         params, ukf0 = ukf_init(
             jnp.zeros(6, jnp.float32),
@@ -112,7 +137,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             # ~2.15·dt in gen_q6's dt powers ≈ 10× Q: absorbs the unmodeled
             # 2 N push faster (diag sweep: survival 1.000 vs 0.953 at gen_q6(dt))
             noise.gen_q6(jnp.float32(2.15 * dt)).astype(jnp.float32),
-            jnp.diag(sens),  # the reference's R (σ-as-R, mppi4-non-liner-ukf.rs:28,164)
+            jnp.diag(r_diag),  # the reference's R (σ-as-R, mppi4-non-liner-ukf.rs:28,164)
             sqrt_method=sqrt_method or "jacobi",
         )
         cfg = MppiConfig(n_horizon=8, n_rollouts=k * n_dev if k % n_dev else k,
@@ -148,7 +173,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             plant_fx_c=lambda xs, u, f: tuple(jnp.broadcast_arrays(
                 *plant6(*xs, u, dt, f))),
             ukf_q_const=noise.gen_q6(jnp.float32(2.15 * dt)),
-            ukf_r_const=jnp.diag(sens),
+            ukf_r_const=jnp.diag(r_diag),
             estimator_chain=estimator_chain,
             estimator_chain_sublanes=estimator_chain_sublanes,
         )

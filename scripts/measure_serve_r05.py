@@ -81,6 +81,11 @@ def main():
         ("m1_d4", dict(ticks_per_dispatch=1, pipeline_depth=4)),
         ("m2_d1", dict(ticks_per_dispatch=2, pipeline_depth=1)),
         ("m4_d1", dict(ticks_per_dispatch=4, pipeline_depth=1)),
+        # round-5 second pass: at M=4 the binding constraint moved from the
+        # serialized dispatch path to the in-flight solve latency of the
+        # N=40 plan (~120 ms incl. RTT); M=8 gives the pipeline 160 ms of
+        # streaming to hide it — the first config that can clear 50 Hz here
+        ("m8_d1", dict(ticks_per_dispatch=8, pipeline_depth=1)),
     ]
     results = {}
     for name, kw in cases:

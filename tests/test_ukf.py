@@ -337,3 +337,50 @@ def test_jacobi_jit_vmap_reconstructs():
     assert np.abs(rec - p0).max() < 1e-10
     orth = np.einsum("bik,bjk->bij", np.array(v), np.array(v)) - np.eye(n)
     assert np.abs(orth).max() < 1e-10
+
+
+def test_ukf_observation_normalization_equivalence_f64():
+    """Observation-channel normalization (apps/fleet.py flagship6,
+    ``obs_normalize``) is a pure diagonal change of observation
+    coordinates: z' = z/s, hx' = hx/s, R' = R/s² give the IDENTICAL
+    posterior (x, P) in exact arithmetic. Pinned here in f64 on the
+    flagship hx/R so the f32 fleet default's claim of math-identity rests
+    on a test, not on algebra in a comment."""
+    p = CartPoleParams.two_wheel()
+    dt = 0.01
+    hx = observation.make_hx_imu6(p)
+    s = jnp.asarray([200.0, 200.0, 10.0, 0.05, 0.05], jnp.float64)
+    from mpc_rs_tpu.models import noise as noise_mod
+
+    q = noise_mod.gen_q6(jnp.float64(2.15 * dt))
+    r_raw = jnp.diag(s)  # the reference's σ-as-R quirk, verbatim
+    fx6 = dynamics.make_flagship6(p)
+
+    def fxd(xv, uu):
+        out = fx6(*(xv[..., i] for i in range(6)), uu, jnp.float64(dt),
+                  jnp.float64(0.0))
+        return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
+
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(0.05 * rng.standard_normal(6))
+    p0 = 0.1 * jnp.eye(6, dtype=jnp.float64)
+    pr, er = ukf_init(x0, p0, q, r_raw)
+    pn, en = ukf_init(x0, p0, q, jnp.diag(jnp.asarray(1.0) / s))
+    hx_n = lambda x: hx(x) / s
+    for step in range(10):
+        u = float(rng.uniform(-5, 5))
+        z = np.asarray(hx(er.x)) + np.asarray(s) * rng.standard_normal(5)
+        er = ukf_predict(pr, er, u, fxd)
+        er = ukf_update(pr, er, jnp.asarray(z), hx)
+        en = ukf_predict(pn, en, u, fxd)
+        en = ukf_update(pn, en, jnp.asarray(z) / s, hx_n)
+        np.testing.assert_allclose(np.asarray(en.x), np.asarray(er.x),
+                                   rtol=1e-6, atol=1e-6)
+        # P tolerance leaves room for the RAW path's own f64 rounding: its
+        # innovation covariance spans ~8 decades, so the two algebraically
+        # identical computations round differently at the ~5e-7-relative
+        # level on the smallest P entries — which is exactly the
+        # conditioning gap the normalization removes (at f32 it grows to a
+        # measured 25% θ-RMS inflation, scripts/diag_flagship_est_f64.py).
+        np.testing.assert_allclose(np.asarray(en.p), np.asarray(er.p),
+                                   rtol=1e-5, atol=1e-8)
