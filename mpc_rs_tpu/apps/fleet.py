@@ -61,7 +61,8 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
                 sampler: str | None = None, ukf_layout: str = "soa",
                 pallas_interpret: bool = False, estimator_chain: bool = False,
                 estimator_chain_sublanes: int = 1,
-                obs_normalize: bool | None = None):
+                obs_normalize: bool | None = None,
+                ukf_alpha: float | None = None):
     # fast_math=None → per-model default: ON for both models (survival
     # validated per model at B=1024 over multiple seeds — see below).
     """(tick, carry0, dt_tick, theta_idx, guard_rad) for a fleet model."""
@@ -80,6 +81,21 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
     cart_sqrt = sqrt_method or (
         "cholesky" if jax.default_backend() == "tpu" else "eigh"
     )
+    # Sigma-point spread for the f32 fleet tiers: α=1 (classic Julier set;
+    # n+κ=3 unchanged), NOT the reference's Merwe α=1e-3 (src/ukf.rs:23-28).
+    # The UT is 2nd-order exact for any α, but its weights scale as
+    # 1/(2α²(n+κ)) ≈ 1.7e5 at α=1e-3 — in f32 that multiplies the ~1e-7
+    # ulp rounding of every propagated sigma point straight into the
+    # predicted mean (measured: single-predict f32-vs-f64 deviation up to
+    # O(1) per channel at α=1e-3 vs ~1e-7 at α=1 — a ~1e6× difference;
+    # closed-loop the α=1e-3 f32 estimator inflates free-running θ-RMS
+    # 0.135 → 0.17-0.18 while every α=1e-3 f64 twin matches the oracle;
+    # scripts/diag_flagship_est_bisect.py). α=1 in f64 is distributionally
+    # indistinguishable from α=1e-3 in f64 on this plant (same diag), so
+    # the f32+α=1 tier recovers the reference's f64 behavior; validated
+    # on-chip against the C++ oracle in PARITY_DIST_r05.json. Override
+    # with ukf_alpha (e.g. 1e-3 to reproduce the raw-spread tier).
+    fleet_alpha = 1.0 if ukf_alpha is None else ukf_alpha
 
     if model == "flagship6":
         dt = 0.01  # 100 Hz control+sensor (reference UKF thread: 9 ms sleep)
@@ -106,21 +122,19 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         cost = costs.make_diag4(0.1, 0.1, 1.0, 0.5)
         hx_raw = observation.make_hx_imu6(p)
         sens_raw = jnp.asarray([200.0, 200.0, 10.0, 0.05, 0.05], jnp.float32)
-        # Observation-channel normalization (round 5, default ON): rescale
-        # z, hx and R by 1/σ per channel — MATHEMATICALLY IDENTICAL filter
-        # (a fixed diagonal change of obs coordinates; f64 equivalence
-        # pinned in tests/test_ukf.py), but the f32 innovation covariance
-        # stops spanning ~8 decades (geared encoders put k≈6.9e3 on dx, so
-        # Pz mixes O(1e7) encoder terms with R=0.05 IMU entries). Measured
-        # consequence of the RAW scaling: the est-in-loop flagship's
-        # per-episode θ-RMS ran ~25% above the f64 oracle's
-        # (0.169 vs 0.135, KS-rejected) while a pure-f64 twin matched it
-        # exactly (0.1347 — scripts/diag_flagship_est_f64.py); normalized
-        # f32 recovers the f64 distribution (PARITY_DIST_r05.json).
+        # Observation-channel normalization (opt-in): rescale z, hx and R
+        # by 1/σ per channel — MATHEMATICALLY IDENTICAL filter (a fixed
+        # diagonal change of obs coordinates; f64 equivalence pinned in
+        # tests/test_ukf.py). It conditions the f32 innovation covariance
+        # (raw Pz mixes O(1e7) geared-encoder terms with R=0.05 IMU
+        # entries — ~8 decades), but the on-chip 200-episode validation
+        # showed it does NOT move the est-in-loop θ-RMS distribution
+        # (0.167 normalized vs 0.169 raw vs the oracle's 0.135): the
+        # pivoted-LU gain solve already survives the raw conditioning, and
+        # the real f32 noise source was the α=1e-3 UT weight amplification
+        # in PREDICT (see fleet_alpha above, which does close the gap).
+        # Kept opt-in for ill-conditioned custom observation models.
         if obs_normalize is None:
-            # flipped to True once the on-chip distributional + survival
-            # validation lands (see the r5 chip queue); the math-identity
-            # is already pinned (tests/test_ukf.py)
             obs_normalize = False
         if obs_normalize:
             hx = lambda x: hx_raw(x) / sens_raw
@@ -139,6 +153,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
             noise.gen_q6(jnp.float32(2.15 * dt)).astype(jnp.float32),
             jnp.diag(r_diag),  # the reference's R (σ-as-R, mppi4-non-liner-ukf.rs:28,164)
             sqrt_method=sqrt_method or "jacobi",
+            alpha=fleet_alpha,
         )
         cfg = MppiConfig(n_horizon=8, n_rollouts=k * n_dev if k % n_dev else k,
                          lambda_=1.4, std_dev=4.0, limit=(-10.0, 10.0))
@@ -193,7 +208,7 @@ def build_fleet(model: str, k: int, backend: str, mesh, *, seed: int = 0,
         p0 = 0.1 * jnp.eye(4, dtype=jnp.float32)
         params, ukf0 = ukf_init(
             x0, p0, noise.gen_q4(dt / n_substeps).astype(jnp.float32), jnp.diag(sens * sens),
-            sqrt_method=cart_sqrt,
+            sqrt_method=cart_sqrt, alpha=fleet_alpha,
         )
         cfg = MppiConfig(n_horizon=8, n_rollouts=k * n_dev if k % n_dev else k,
                          lambda_=0.5, std_dev=10.0, limit=(-10.0, 10.0))
@@ -362,6 +377,7 @@ def fleet(args):
         sampler=getattr(args, "sampler", None),
         fast_math=getattr(args, "fast_math", None),
         ukf_layout=getattr(args, "ukf_layout", None) or "soa",
+        ukf_alpha=getattr(args, "ukf_alpha", None),
     )
     ckpt_backend = getattr(args, "ckpt_backend", None) or "npz"
     ckpt_name = "fleet.npz" if ckpt_backend == "npz" else "fleet_orbax"

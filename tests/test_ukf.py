@@ -379,8 +379,62 @@ def test_ukf_observation_normalization_equivalence_f64():
         # P tolerance leaves room for the RAW path's own f64 rounding: its
         # innovation covariance spans ~8 decades, so the two algebraically
         # identical computations round differently at the ~5e-7-relative
-        # level on the smallest P entries — which is exactly the
-        # conditioning gap the normalization removes (at f32 it grows to a
-        # measured 25% θ-RMS inflation, scripts/diag_flagship_est_f64.py).
+        # level on the smallest P entries — the conditioning gap the
+        # normalization removes. (Note: the round-5 bisection showed the
+        # flagship's measured 25% f32 θ-RMS inflation came from the α=1e-3
+        # UT weight amplification in PREDICT, not from this update-side
+        # conditioning — see test_f32_predict_alpha_conditioning below;
+        # normalization remains a valid identity, pinned here.)
         np.testing.assert_allclose(np.asarray(en.p), np.asarray(er.p),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_f32_predict_alpha_conditioning():
+    """The f32 production spread is α=1 (apps/fleet.py fleet_alpha), NOT
+    the reference's Merwe α=1e-3 (src/ukf.rs:23-28): with α=1e-3 the UT
+    weights are 1/(2α²(n+κ)) ≈ 1.7e5, which multiplies the ~ulp rounding
+    of every propagated sigma point straight into the predicted mean.
+    This pins both halves of the round-5 finding (DESIGN §18):
+
+      (a) at α=1, one f32 predict matches the f64 predict tightly;
+      (b) at α=1e-3, the f32 deviation is ≥1e3× LARGER than at α=1 —
+          the amplification that inflated the est-in-loop flagship's
+          free-running θ-RMS 0.135 → 0.17-0.18 until round 5
+          (scripts/diag_flagship_est_bisect.py; closed-loop distribution
+          re-validated on-chip in PARITY_DIST_r05.json).
+    """
+    from mpc_rs_tpu.models import noise as noise_mod
+
+    p = CartPoleParams.two_wheel()
+    dt = 0.01
+    fx6 = dynamics.make_flagship6(p)
+
+    def fxd(dtype):
+        def f(xv, uu):
+            out = fx6(*(xv[..., i] for i in range(6)), uu,
+                      jnp.asarray(dt, dtype), jnp.asarray(0.0, dtype))
+            return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
+        return f
+
+    q = noise_mod.gen_q6(jnp.float64(2.15 * dt))
+    rng = np.random.default_rng(3)
+    x0 = np.array([0.3, 0.5, 2.0, 0.08, 0.4, 1.0])
+    a = rng.normal(size=(6, 6))
+    p0 = 1e-4 * (a @ a.T) + np.diag([1e-4, 1e-3, 1e-2, 1e-5, 1e-4, 1e-3])
+    r = np.diag([200.0, 200.0, 10.0, 0.05, 0.05])
+    u = 1.7
+
+    err = {}
+    for alpha in (1e-3, 1.0):
+        pr64, st64 = ukf_init(jnp.asarray(x0), jnp.asarray(p0), q,
+                              jnp.asarray(r), alpha=alpha)
+        pr32, st32 = ukf_init(jnp.asarray(x0, jnp.float32),
+                              jnp.asarray(p0, jnp.float32),
+                              q.astype(jnp.float32),
+                              jnp.asarray(r, jnp.float32), alpha=alpha)
+        e64 = ukf_predict(pr64, st64, jnp.float64(u), fxd(jnp.float64))
+        e32 = ukf_predict(pr32, st32, jnp.float32(u), fxd(jnp.float32))
+        err[alpha] = float(np.max(np.abs(
+            np.asarray(e64.x, np.float64) - np.asarray(e32.x, np.float64))))
+    assert err[1.0] < 1e-4, err  # (a): α=1 f32 predict is f64-faithful
+    assert err[1e-3] > 1e3 * err[1.0], err  # (b): α=1e-3 amplifies ≥1e3×
