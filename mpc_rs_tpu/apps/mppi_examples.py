@@ -196,11 +196,20 @@ def mppi4_non_liner_ukf(args):
     # 0.953). DEBUG_UKF mode keeps the reference constants verbatim.
     est_in_loop = args.use_ukf_estimate
     q_scale = 2.15 if est_in_loop else 1.0
+    # Sigma spread: est-in-loop uses the f32-validated Julier α=1 (the
+    # reference's Merwe α=1e-3 amplifies f32 sigma-point rounding ~1.7e5×
+    # into the predicted mean — DESIGN §18, distributionally validated
+    # against the f64 oracle in PARITY_DIST_r05.json); DEBUG_UKF keeps the
+    # reference constant verbatim (the estimate is not load-bearing there).
+    ukf_alpha = getattr(args, "ukf_alpha", None)
+    if ukf_alpha is None:
+        ukf_alpha = 1.0 if est_in_loop else 1e-3
     params, ukf0 = ukf_init(
         jnp.zeros(6, jnp.float32),
         (0.1 if est_in_loop else 10.0) * jnp.eye(6, dtype=jnp.float32),
         noise.gen_q6(jnp.float32(q_scale * dt)),
         jnp.diag(jnp.asarray(r_diag, jnp.float32)),
+        alpha=ukf_alpha,
     )
 
     @jax.jit
