@@ -56,7 +56,16 @@ class UkfState(NamedTuple):
 
 
 def merwe_weights(n: int, alpha: float = 1e-3, beta: float = 2.0, kappa: float | None = None, dtype=jnp.float32):
-    """Merwe scaled weights — src/ukf.rs:112-118."""
+    """Merwe scaled weights — src/ukf.rs:112-118.
+
+    f32 guidance: the default α=1e-3 (the reference's constant) makes the
+    non-center weights 1/(2α²(n+κ)) ≈ 1.7e5, which amplifies the ulp
+    rounding of every propagated sigma point into the transformed mean —
+    fine in f64, but in f32 it injects O(1e5·ulp(|fx|)) ≈ 1e-2 noise per
+    transform (tests/test_ukf.py::test_f32_predict_alpha_conditioning;
+    DESIGN §18). For f32 filters prefer α=1 (the classic Julier set; the
+    UT stays 2nd-order exact for any α) — the fleet tiers default to it
+    (apps/fleet.py fleet_alpha)."""
     if kappa is None:
         kappa = 3.0 - n
     c = alpha * alpha * (n + kappa)
