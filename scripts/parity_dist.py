@@ -25,6 +25,15 @@ K=5e5..8e5 are TPU-side only, see BENCH):
                 — the full production tier (Pallas kernel + clt4a sampler +
                 SoA UKF on TPU). [mppi4-non-liner-ukf.rs:13-34,224-288]
 - flagship-est  same, estimator in loop (controller sees the UKF estimate).
+- cartpole4-est the cartpole4 FLEET stack (mppi4-non-liner-s semantics)
+                with its UKF(4,3) in the loop at the fleet cadence: 20 Hz
+                control (dt=0.05), 5 plant/sensor/UKF substeps at 100 Hz,
+                K=1024, λ=0.5 σ=10 ±10, sens=(50,50,0.5) with proper
+                R=diag(σ²), Q=gen_q4(0.01) (shared data — gen_q4 itself
+                is pinned against reference literals in tests/
+                test_models.py), x̂0 = x0, P0=0.1·I, 10 s, 60° guard.
+                Seals the second estimator family distributionally.
+                [mppi4-non-liner-s.rs:10-21,104-150]
 - qp-parking    op-mpc-x-calc-nl (deterministic, model-mismatch): 200
                 perturbed initial conditions shared by both sides;
                 per-IC parked flags + final-state agreement.
@@ -56,7 +65,9 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 N_TICKS_CART = 100     # 10 s at DT=0.1  (mppi4.rs:41)
 N_TICKS_FLAG = 1000    # 10 s at 100 Hz
+N_TICKS_CART_EST = 200  # 10 s at the 20 Hz fleet cadence
 K_CART, K_FLAG = 16384, 8192
+K_CART_EST = 1024      # the cartpole4 fleet's per-scenario budget
 GUARD_CART, GUARD_FLAG = math.radians(60.0), math.pi / 2
 
 
@@ -141,6 +152,71 @@ def ep_flagship_oracle(seed: int, feed_true: bool) -> dict:
             "max_theta": float(np.max(np.abs(th)))}
 
 
+def _q4_data(dt_sub: float) -> np.ndarray:
+    """gen_q4 evaluated ONCE in the parent process (worker processes are
+    fork()ed after XLA spins up its thread pools — touching jax there can
+    deadlock; the other oracle episodes are pure numpy+ctypes for the
+    same reason). Shared DATA: gen_q4's transcription is pinned against
+    reference literals in tests/test_models.py, and the f32 rounding it
+    carries (no x64 outside the test env) matches the fleet's own
+    float32 Q (apps/fleet.py: gen_q4(...).astype(float32))."""
+    import jax
+
+    try:  # stay off the (exclusive) TPU chip if the backend is fresh
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # already initialized by the caller's env
+    import jax.numpy as jnp
+
+    from mpc_rs_tpu.models import noise as noise_mod
+
+    return np.asarray(noise_mod.gen_q4(jnp.float64(dt_sub)), np.float64)
+
+
+def ep_cartpole4_est_oracle(seed: int, q: np.ndarray) -> dict:
+    """Free-running cartpole4 FLEET-stack episode on the C++ oracle:
+    20 Hz MPPI on the UKF(4,3) estimate, 5 plant/sensor/filter substeps
+    at 100 Hz per tick — mirrors make_scenario_step's cartpole4 wiring
+    (parallel/scenario.py rest(); apps/fleet.py cartpole4 branch)."""
+    tno = _oracle_mod()
+    lib = tno.load_oracle()
+    r = np.random.default_rng(seed)
+    dt_tick, n_sub = 0.05, 5
+    dt_sub = dt_tick / n_sub
+    sens = np.array([50.0, 50.0, 0.5])
+    x = np.array([0.5, 0.0, 0.1, 0.0])
+    ukf = tno.OraUkf(lib, x.copy(), 0.1 * np.eye(4), q, np.diag(sens * sens),
+                     fx_id=0, hx_id=0)
+    u_n = np.zeros(8)
+    thetas = []
+    survived = True
+    for _ in range(N_TICKS_CART_EST):
+        x_ctrl = ukf.x.copy()
+        if not np.all(np.isfinite(x_ctrl)):
+            x_ctrl = np.zeros(4)
+        eps = 10.0 * r.standard_normal((K_CART_EST, 8))
+        u, st = tno.ora_mppi(lib, 0, 0, x_ctrl, u_n, eps, 0.5, 10.0,
+                             (-10.0, 10.0), 0.1)
+        if st != 0:
+            u = np.zeros(8)
+        u_n = u
+        for _s in range(n_sub):
+            x = tno.ora_dynamics(lib, 0, x, u_n[0], dt_sub)
+            z = tno.ora_hx(lib, 0, x) + sens * r.standard_normal(3)
+            ukf.predict(u_n[0], dt_sub)
+            ukf.update(z)
+            if not (np.all(np.isfinite(ukf.x)) and np.all(np.isfinite(ukf.p))):
+                ukf.x = np.where(np.isfinite(ukf.x), ukf.x, 0.0)
+                ukf.p = 0.1 * np.eye(4)
+        thetas.append(x[2])
+        if abs(x[2]) > GUARD_CART:
+            survived = False
+            break
+    th = np.asarray(thetas)
+    return {"survived": survived, "rms_theta": float(np.sqrt(np.mean(th * th))),
+            "max_theta": float(np.max(np.abs(th)))}
+
+
 def run_oracle_side(config: str, episodes: int, jobs: int) -> list[dict]:
     import concurrent.futures as cf
 
@@ -150,6 +226,10 @@ def run_oracle_side(config: str, episodes: int, jobs: int) -> list[dict]:
         fn, args = ep_flagship_oracle, [(3000 + i, True) for i in range(episodes)]
     elif config == "flagship-est":
         fn, args = ep_flagship_oracle, [(4000 + i, False) for i in range(episodes)]
+    elif config == "cartpole4-est":
+        q4 = _q4_data(0.05 / 5)
+        fn, args = ep_cartpole4_est_oracle, [(5000 + i, q4)
+                                             for i in range(episodes)]
     else:
         raise ValueError(config)
     out = []
@@ -223,14 +303,14 @@ def run_library_cartpole4(episodes: int) -> list[dict]:
     return out
 
 
-def run_library_flagship(episodes: int, feed_true: bool,
-                         **fleet_overrides) -> list[dict]:
-    """Free-running flagship episodes on the PRODUCTION fleet tier
-    (apps/fleet.py flagship6 — Pallas kernel + clt4a + SoA UKF on TPU,
-    jnp backend elsewhere), one scenario per episode.
+def run_library_fleet(model: str, k: int, n_ticks: int, episodes: int,
+                      feed_true: bool, **fleet_overrides) -> list[dict]:
+    """Free-running fleet episodes on the PRODUCTION tier (apps/fleet.py —
+    Pallas kernel + in-kernel samplers + SoA UKF on TPU, jnp backend
+    elsewhere), one scenario per episode.
 
     ``fleet_overrides`` forward to build_fleet (sampler=, fast_math=,
-    sqrt_method=, ukf_layout=, backend=) — used to attribute
+    sqrt_method=, ukf_layout=, backend=, ukf_alpha=) — used to attribute
     distributional deltas to individual fast tiers."""
     import jax
     import jax.numpy as jnp
@@ -244,7 +324,7 @@ def run_library_flagship(episodes: int, feed_true: bool,
     b = max(8, ((episodes + 7) // 8) * 8)
     mesh = make_mesh({"scenario": 1, "rollouts": 1})
     tick, carry, dt, theta_idx, guard = build_fleet(
-        "flagship6", K_FLAG, backend, mesh, scenarios=b,
+        model, k, backend, mesh, scenarios=b,
         feed_true_state=feed_true, pallas_interpret=not on_tpu,
         **fleet_overrides,
     )
@@ -260,10 +340,10 @@ def run_library_flagship(episodes: int, feed_true: bool,
         return jax.lax.scan(body, c, None, length=chunk)
 
     th_all = []
-    for _ in range(N_TICKS_FLAG // chunk):
+    for _ in range(n_ticks // chunk):
         carry, th = run_chunk(carry)
         th_all.append(np.asarray(th))
-        print(f"  library ticks {chunk * len(th_all)}/{N_TICKS_FLAG}", flush=True)
+        print(f"  library ticks {chunk * len(th_all)}/{n_ticks}", flush=True)
     th = np.concatenate(th_all, axis=0)  # (N_TICKS, B)
 
     out = []
@@ -280,6 +360,13 @@ def run_library_flagship(episodes: int, feed_true: bool,
                         "rms_theta": float(np.sqrt(np.mean(t * t))),
                         "max_theta": float(np.max(np.abs(t)))})
     return out
+
+
+def run_library_flagship(episodes: int, feed_true: bool,
+                         **fleet_overrides) -> list[dict]:
+    """Back-compat wrapper (diag scripts): the flagship fleet config."""
+    return run_library_fleet("flagship6", K_FLAG, N_TICKS_FLAG, episodes,
+                             feed_true, **fleet_overrides)
 
 
 # ---------------------------------------------------------------------------
@@ -409,8 +496,8 @@ def summarize(name: str, lib_eps: list[dict], ora_eps: list[dict]) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True,
-                    choices=["cartpole4", "flagship-dbg", "flagship-est",
-                             "qp-parking"])
+                    choices=["cartpole4", "cartpole4-est", "flagship-dbg",
+                             "flagship-est", "qp-parking"])
     ap.add_argument("--episodes", type=int, default=200)
     ap.add_argument("--jobs", type=int, default=4)
     ap.add_argument("--side", choices=["both", "library", "oracle"],
@@ -438,6 +525,10 @@ def main():
                   flush=True)
             if args.config == "cartpole4":
                 raw["library"] = run_library_cartpole4(args.episodes)
+            elif args.config == "cartpole4-est":
+                raw["library"] = run_library_fleet(
+                    "cartpole4", K_CART_EST, N_TICKS_CART_EST,
+                    args.episodes, feed_true=False)
             else:
                 raw["library"] = run_library_flagship(
                     args.episodes, feed_true=args.config == "flagship-dbg")
