@@ -130,6 +130,25 @@ def test_serve_bridge_pipelined(tmp_path):
     assert all(th < np.radians(60.0) for th in summary["max_abs_theta"])
 
 
+def test_serve_bridge_plan_streaming(tmp_path):
+    # --ticks-per-dispatch M (round 5, DESIGN §19): one dispatch returns a
+    # plan re-discretized to the tick period; the host streams its first M
+    # entries at successive ticks, so the dispatch path carries ~ticks/M
+    # dispatches. Robots must still balance on the (M-1)-tick-stale tail.
+    summary, out = _run(
+        ["serve", "--sim-mcu", "--robots", "8", "--k", "128",
+         "--t-end", "1.0", "--time-scale", "0.2", "--seed", "5",
+         "--ticks-per-dispatch", "4", "--pipeline-depth", "1"],
+        tmp_path,
+    )
+    assert summary["ticks"] > 5
+    assert summary["ticks_per_dispatch"] == 4
+    # the streamed plan covers M ticks per dispatch (allow boundary slack)
+    assert summary["dispatches"] <= summary["ticks"] / 4 + 2, summary
+    assert all(n > 0 for n in summary["tx"])
+    assert all(th < np.radians(60.0) for th in summary["max_abs_theta"])
+
+
 def test_tune_sweep_grid(tmp_path):
     # 2x2 grid x 3 seeds in one vmapped device call; the reference operating
     # point (lambda=0.5, sigma=3 — examples/mppi4.rs:11-13) must survive,
