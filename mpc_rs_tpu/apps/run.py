@@ -58,10 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="override fleet fast-math dynamics (default: per-model — on for "
                          "cartpole4, off for flagship6)")
     ap.add_argument("--ukf-alpha", type=float, default=None,
-                    help="override the fleet UKF sigma-point spread α (default 1.0 "
-                         "— the f32-conditioned Julier set; 1e-3 reproduces the "
-                         "reference's Merwe spread, which in f32 amplifies "
-                         "sigma-point rounding ~1.7e5× into the predicted mean)")
+                    help="override the UKF sigma-point spread α (fleet and "
+                         "mppi4-non-liner-ukf). Defaults: fleet tiers and the "
+                         "flagship's --use-ukf-estimate mode use 1.0 (the "
+                         "f32-conditioned Julier set); the flagship's DEBUG_UKF "
+                         "mode keeps the reference's Merwe 1e-3, which in f32 "
+                         "amplifies sigma-point rounding ~1.7e5× into the "
+                         "predicted mean (DESIGN §18)")
     ap.add_argument("--ukf-layout", choices=["soa", "aos"], default=None,
                     help="fleet estimator layout: batch-minor SoA (lane-dense, default) "
                          "or the vmapped AoS reference path")

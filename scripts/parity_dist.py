@@ -153,24 +153,37 @@ def ep_flagship_oracle(seed: int, feed_true: bool) -> dict:
 
 
 def _q4_data(dt_sub: float) -> np.ndarray:
-    """gen_q4 evaluated ONCE in the parent process (worker processes are
-    fork()ed after XLA spins up its thread pools — touching jax there can
-    deadlock; the other oracle episodes are pure numpy+ctypes for the
-    same reason). Shared DATA: gen_q4's transcription is pinned against
-    reference literals in tests/test_models.py, and the f32 rounding it
-    carries (no x64 outside the test env) matches the fleet's own
-    float32 Q (apps/fleet.py: gen_q4(...).astype(float32))."""
-    import jax
+    """gen_q4 evaluated in a SHORT-LIVED SUBPROCESS and passed to the
+    oracle workers as plain data. Two fork-safety constraints meet here:
+    the pool workers are fork()ed, so they must never touch jax (inherited
+    XLA thread-pool locks can deadlock) — and the PARENT must not
+    initialize jax either, or the subsequent fork() happens from a
+    multi-threaded process (same hazard, one level up; a CLI oracle-side
+    run is otherwise jax-free by design). Shared DATA: gen_q4's
+    transcription is pinned against reference literals in
+    tests/test_models.py. If the parent has already initialized jax (the
+    CI test / --side both paths), evaluate inline instead — the threads
+    exist either way there, and the pool has not forked yet."""
+    import subprocess
+    import sys as _sys
 
-    try:  # stay off the (exclusive) TPU chip if the backend is fresh
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass  # already initialized by the caller's env
-    import jax.numpy as jnp
+    if "jax" in _sys.modules:  # already initialized — inline is no worse
+        import jax.numpy as jnp
 
-    from mpc_rs_tpu.models import noise as noise_mod
+        from mpc_rs_tpu.models import noise as noise_mod
 
-    return np.asarray(noise_mod.gen_q4(jnp.float64(dt_sub)), np.float64)
+        return np.asarray(noise_mod.gen_q4(jnp.float64(dt_sub)), np.float64)
+    code = (
+        "import jax, json; jax.config.update('jax_platforms','cpu');"
+        "import jax.numpy as jnp; import sys; sys.path.insert(0, %r);"
+        "from mpc_rs_tpu.models import noise;"
+        "print(json.dumps(noise.gen_q4(jnp.float64(%r)).tolist()))"
+        % (ROOT, dt_sub)
+    )
+    out = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True)
+    return np.asarray(json.loads(out.stdout.strip().splitlines()[-1]),
+                      np.float64)
 
 
 def ep_cartpole4_est_oracle(seed: int, q: np.ndarray) -> dict:
@@ -329,21 +342,25 @@ def run_library_fleet(model: str, k: int, n_ticks: int, episodes: int,
         **fleet_overrides,
     )
 
-    chunk = 50
+    from functools import partial
 
-    @jax.jit
-    def run_chunk(c):
+    @partial(jax.jit, static_argnames="length")
+    def run_chunk(c, length):
         def body(cc, _):
             cc = tick(cc)
             return cc, cc.x[:, theta_idx]
 
-        return jax.lax.scan(body, c, None, length=chunk)
+        return jax.lax.scan(body, c, None, length=length)
 
-    th_all = []
-    for _ in range(n_ticks // chunk):
-        carry, th = run_chunk(carry)
+    # full 50-tick chunks plus an exact remainder chunk, so every caller
+    # gets precisely n_ticks ticks (the oracle side runs the same count)
+    chunks = [50] * (n_ticks // 50) + ([n_ticks % 50] if n_ticks % 50 else [])
+    th_all, done = [], 0
+    for length in chunks:
+        carry, th = run_chunk(carry, length)
         th_all.append(np.asarray(th))
-        print(f"  library ticks {chunk * len(th_all)}/{n_ticks}", flush=True)
+        done += length
+        print(f"  library ticks {done}/{n_ticks}", flush=True)
     th = np.concatenate(th_all, axis=0)  # (N_TICKS, B)
 
     out = []

@@ -1,22 +1,25 @@
 """On-chip validation of observation-channel normalization (round 5).
 
-DESIGN §18: the flagship est-in-loop distributional-parity rejection was
-attributed to f32 conditioning in the UKF innovation covariance (geared
-encoder rows ~8 decades above the IMU rows). The fix — rescale z/hx/R by
-1/σ per channel — is mathematically the identical filter (f64 identity
-pinned in tests/test_ukf.py::test_obs_normalization_is_identity). This
-driver produces the VALIDATION evidence the default flip is gated on:
+DESIGN §18, historical validation step: the flagship est-in-loop
+distributional-parity rejection was first attributed to f32 conditioning
+in the UKF innovation covariance (geared encoder rows ~8 decades above
+the IMU rows). The candidate fix — rescale z/hx/R by 1/σ per channel —
+is mathematically the identical filter (f64 identity pinned in
+tests/test_ukf.py::test_ukf_observation_normalization_equivalence_f64).
+This driver ran the on-chip evidence that REFUTED it as the cause
+(normalized 200-episode θ-RMS 0.167 ≈ raw 0.169, KS still rejected vs
+the oracle's 0.135; the real cause was the α=1e-3 UT weight
+amplification, scripts/diag_flagship_est_bisect.py).
 
-  1. est-in-loop library side, obs_normalize=True, 200 free-running
-     episodes on the production tier → KS vs the stored f64 oracle
-     sample (the exact test the raw path failed at stat 0.66 / p~1e-42).
-  2. same for the truth-fed (DEBUG_UKF) mode — the controller never sees
-     the estimate there, so this doubles as the flagship-dbg library
-     restore for PARITY_DIST_r05.json.
-
-Results append to PARITY_DIST_r05.json under
-flagship-est.variants["obs-normalize"] and restore the full
-flagship-dbg/flagship-est entries when --restore is passed.
+For each of flagship-est / flagship-dbg it runs the library side with
+obs_normalize=True against the cached oracle raw and REPLACES that
+config's entry in PARITY_DIST_r05.json (raw included), tagging it with
+library_overrides; the prior flagship-est attribution table is carried
+over under variants_raw_path. The committed artifact has since been
+re-recorded at production defaults (α=1, obs_normalize off) by
+parity_dist.py — re-running this script would overwrite those entries
+with the obs-normalized variant; it is kept for reproducibility of the
+refutation, not as a maintenance tool.
 
 Run (on the TPU chip):
   PYTHONPATH=.:scripts python scripts/validate_obs_normalize.py
