@@ -103,6 +103,7 @@ def main():
                              alpha=alpha)
 
     rms_all = []
+    err_all = []
     for ep in range(episodes):
         r = np.random.default_rng(8000 + ep)
         key = jax.random.key(9000 + ep)
@@ -110,6 +111,7 @@ def main():
         est = est0
         u_n = jnp.zeros(n, dt_ctrl)
         thetas = []
+        est_err = []  # per-tick estimate error on the controller slice
         for i in range(1000):
             key, kk = jax.random.split(key)
             x4 = np.asarray(est.x, np.float64)[[0, 1, 3, 4]]
@@ -127,13 +129,23 @@ def main():
                 + sens * r.standard_normal(5)
             est = est_tick(est, jnp.asarray(u0, dt_est),
                            jnp.asarray(z, dt_est))
+            est_err.append(np.asarray(est.x, np.float64)[[0, 1, 3, 4]]
+                           - x[[0, 1, 3, 4]])
             thetas.append(x[3])
             assert abs(x[3]) < np.pi / 2, (ep, i)
         rms = float(np.sqrt(np.mean(np.asarray(thetas) ** 2)))
         rms_all.append(rms)
-        print(f"[{variant}] ep {ep}: rms_theta {rms:.4f}", flush=True)
+        # settled estimator error (skip the 1 s convergence transient)
+        ee = np.asarray(est_err)[100:]
+        err_rms = np.sqrt(np.mean(ee ** 2, axis=0))
+        err_all.append(err_rms)
+        print(f"[{variant}] ep {ep}: rms_theta {rms:.4f}  est-err rms "
+              f"[x dx th dth] {np.array2string(err_rms, precision=4)}",
+              flush=True)
     print(f"[{variant}] mean rms_theta over {episodes} eps: "
           f"{np.mean(rms_all):.4f} +- {np.std(rms_all):.4f}")
+    print(f"[{variant}] mean settled est-err rms [x dx th dth]: "
+          f"{np.array2string(np.mean(err_all, axis=0), precision=5)}")
     print("oracle: 0.1349; f64 twin: 0.1347; f32 fleet tiers: 0.166-0.175")
 
 
