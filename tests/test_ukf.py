@@ -438,3 +438,99 @@ def test_f32_predict_alpha_conditioning():
             np.asarray(e64.x, np.float64) - np.asarray(e32.x, np.float64))))
     assert err[1.0] < 1e-4, err  # (a): α=1 f32 predict is f64-faithful
     assert err[1e-3] > 1e3 * err[1.0], err  # (b): α=1e-3 amplifies ≥1e3×
+
+
+def test_f32_closed_loop_estimator_fidelity():
+    """Closed-loop-scale companion to the single-predict α test above:
+    a 300-tick flagship trajectory (f64 plant, stabilizing state feedback,
+    noisy IMU observations) is replayed tick-for-tick through four
+    filters on IDENTICAL (u, z) sequences. Two claims pinned at this
+    scale:
+
+    (a) the fleet-default f32 α=1 filter tracks the f64 filter's
+        est-vs-truth accuracy on every controller channel;
+    (b) on matched inputs, the f32 α=1e-3 filter's STATE walks away from
+        its own f64 twin orders of magnitude faster than the α=1 pair —
+        the per-tick predicted-mean noise the Merwe weights amplify.
+
+    Note the open-loop replay deliberately does NOT reproduce the 1.38 m
+    est-vs-truth blowup of the free-running bisect (DESIGN §18): with a
+    truth-fed trajectory the measurement updates keep even the noisy
+    filter anchored; the meter-scale error is a CLOSED-LOOP effect (the
+    controller regulates the noisy estimate to zero while the truth
+    drifts), measured where it occurs — in the free-running artifact.
+    Here we pin the noise injection itself, deterministically."""
+    from mpc_rs_tpu.models import noise as noise_mod
+
+    p = CartPoleParams.two_wheel()
+    dt = 0.01
+    plant6 = dynamics.make_flagship6(p)
+    hx = observation.make_hx_imu6(p)
+    sens = np.array([200.0, 200.0, 10.0, 0.05, 0.05])
+    q64 = noise_mod.gen_q6(jnp.float64(2.15 * dt))
+    rng = np.random.default_rng(42)
+
+    # f64 truth trajectory under simple stabilizing feedback on x4
+    gains = np.array([2.0, 3.0, 30.0, 6.0])  # x, dx, th, dth
+    x = np.zeros(6)
+    us, zs, truth = [], [], []
+    for i in range(300):
+        u = float(np.clip(-gains @ x[[0, 1, 3, 4]], -10.0, 10.0))
+        x = np.array([float(v) for v in plant6(
+            *(jnp.float64(c) for c in x), jnp.float64(u), jnp.float64(dt),
+            jnp.float64(0.0))])
+        assert abs(x[3]) < np.pi / 2
+        z = np.asarray(hx(jnp.asarray(x)), np.float64) \
+            + sens * rng.standard_normal(5)
+        us.append(u)
+        zs.append(z)
+        truth.append(x.copy())
+    truth = np.asarray(truth)
+
+    def replay(dtype, alpha):
+        def fxd(xv, uu):
+            out = plant6(*(xv[..., i] for i in range(6)), uu,
+                         jnp.asarray(dt, dtype), jnp.asarray(0.0, dtype))
+            return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
+
+        params, est = ukf_init(jnp.zeros(6, dtype),
+                               jnp.asarray(0.1 * np.eye(6), dtype),
+                               q64.astype(dtype),
+                               jnp.asarray(np.diag(sens), dtype),
+                               alpha=alpha)
+
+        @jax.jit
+        def tick(state, u, z):
+            state = ukf_predict(params, state, u, fxd)
+            return ukf_update(params, state, z, hx)
+
+        xs = []
+        for i in range(300):
+            est = tick(est, jnp.asarray(us[i], dtype),
+                       jnp.asarray(zs[i], dtype))
+            xs.append(np.asarray(est.x, np.float64))
+        return np.asarray(xs)  # (300, 6) estimate trajectory
+
+    t64_j = replay(jnp.float64, 1.0)
+    t32_j = replay(jnp.float32, 1.0)
+    t64_m = replay(jnp.float64, 1e-3)
+    t32_m = replay(jnp.float32, 1e-3)
+
+    sl = np.array([0, 1, 3, 4])  # controller channels
+
+    def settled_rms(traj):
+        e = traj[100:, sl] - truth[100:][:, sl]
+        return np.sqrt(np.mean(e ** 2, axis=0))
+
+    # (a) fleet default: f32 α=1 tracks f64 est-vs-truth accuracy
+    np.testing.assert_array_less(settled_rms(t32_j),
+                                 1.3 * settled_rms(t64_j) + 1e-4)
+
+    # (b) matched-input f32-vs-f64 twin divergence: the Merwe pair walks
+    # away much faster than the Julier pair (measured ~48× on this
+    # trajectory: 0.35 vs 0.0073 — the filter recursion amplifies even
+    # benign rounding over 300 steps, so the Julier floor is not ulp-tiny,
+    # but the Merwe spread adds ~1.7e5-weighted noise each predict)
+    dev_j = np.sqrt(np.mean((t32_j - t64_j)[100:] ** 2, axis=0)).max()
+    dev_m = np.sqrt(np.mean((t32_m - t64_m)[100:] ** 2, axis=0)).max()
+    assert dev_m > 20.0 * dev_j, (dev_m, dev_j)
